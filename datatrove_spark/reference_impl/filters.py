@@ -1,0 +1,241 @@
+"""Pure-Python, single-document implementation of the engine's filter
+semantics — the pytest parity oracle.
+
+These functions re-derive the *decision rules* of the reference filters
+(datatrove, see per-function provenance) under this engine's portable text
+semantics (config.py TOKENIZER NOTE). The Spark operators and the DuckDB
+oracle SQL must agree with these functions exactly, row for row; tests
+enforce it on synthetic corpora that exercise every drop reason.
+
+NOT imported by any Spark execution path — test/labeling use only.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from datatrove_spark.config import (
+    C4QualityConfig,
+    CITATION_RE,
+    FINEWEB_STOP_CHARS,
+    FineWebQualityConfig,
+    GopherQualityConfig,
+    GopherRepetitionConfig,
+    POLICY_SUBSTRINGS,
+    TOKEN_RE,
+    UnigramLogProbConfig,
+    WORD_RE,
+)
+
+_WORD_RE = re.compile(WORD_RE)
+_ALNUM_RE = re.compile("[A-Za-z0-9]")
+_ALPHA_RE = re.compile("[A-Za-z]")
+_CITATION_RE = re.compile(CITATION_RE)
+_TOKEN_RE = re.compile(TOKEN_RE)
+_SENT_RE = re.compile(r"[^.!?]+[.!?]+")
+
+
+def words(text: str) -> list[str]:
+    return _WORD_RE.findall(text)
+
+
+def simplify_text(text: str) -> str:
+    s = text.lower()
+    s = re.sub("[^a-z0-9]+", " ", s)
+    s = re.sub("[0-9]+", "0", s)
+    return s.strip()
+
+
+def sentences(text: str) -> list[str]:
+    return _SENT_RE.findall(text)
+
+
+def token_count(text: str) -> int:
+    return len(_TOKEN_RE.findall(text))
+
+
+def gopher_quality(text: str, cfg: GopherQualityConfig = GopherQualityConfig()) -> str | None:
+    """Returns the drop reason or None (keep). Provenance:
+    gopher_quality_filter.py:62-125."""
+    ws = words(text)
+    n_words = len(ws)
+    nsw = [w for w in ws if _ALNUM_RE.search(w)]
+    n_nsw = len(nsw)
+
+    if n_nsw < cfg.min_doc_words:
+        return "gopher_short_doc"
+    if n_nsw > cfg.max_doc_words:
+        return "gopher_long_doc"
+    avg_len = sum(len(w) for w in nsw) / n_nsw
+    if avg_len < cfg.min_avg_word_length:
+        return "gopher_below_avg_threshold"
+    if avg_len > cfg.max_avg_word_length:
+        return "gopher_above_avg_threshold"
+    if text.count("#") / n_words > cfg.max_symbol_word_ratio:
+        return "gopher_too_many_hashes"
+    if (text.count("...") + text.count("…")) / n_words > cfg.max_symbol_word_ratio:
+        return "gopher_too_many_ellipsis"
+    lns = text.split("\n")
+    bullet = sum(
+        1 for ln in lns if re.sub(r"^\s+", "", ln).startswith(("•", "-"))
+    )
+    if bullet / len(lns) > cfg.max_bullet_lines_ratio:
+        return "gopher_too_many_bullets"
+    ell = sum(1 for ln in lns if re.sub(r"\s+$", "", ln).endswith(("...", "…")))
+    if ell / len(lns) > cfg.max_ellipsis_lines_ratio:
+        return "gopher_too_many_end_ellipsis"
+    n_alpha = sum(1 for w in ws if _ALPHA_RE.search(w))
+    if n_alpha / n_words < cfg.max_non_alpha_words_ratio:
+        return "gopher_below_alpha_threshold"
+    if sum(1 for w in ws if w in cfg.stop_words) < cfg.min_stop_words:
+        return "gopher_enough_stop_words"
+    return None
+
+
+def _find_duplicates(elements: list[str]) -> tuple[int, int]:
+    """(duplicate element count, duplicate char count) — every occurrence
+    after the first of each distinct element counts
+    (gopher_repetition_filter.py:35-46)."""
+    seen: set[str] = set()
+    dup_n = dup_chars = 0
+    for e in elements:
+        if e in seen:
+            dup_n += 1
+            dup_chars += len(e)
+        else:
+            seen.add(e)
+    return dup_n, dup_chars
+
+
+def _dup_ngram_char_frac(ws: list[str], n: int, text_len: int) -> float:
+    """Union-of-positions semantics (documented deviation from the
+    reference's sequential skip-scan, gopher_repetition_filter.py:57-70,
+    which is order-dependent and not parallelizable): characters of words
+    covered by any occurrence *after the first* of a duplicated n-gram,
+    each word counted once, divided by len(text)."""
+    if len(ws) < n:
+        return 0.0
+    grams: dict[str, int] = {}
+    occs: list[tuple[str, int]] = []
+    for i in range(len(ws) - n + 1):
+        g = " ".join(ws[i : i + n])
+        occs.append((g, i))
+        grams[g] = grams.get(g, 0) + 1
+    first: dict[str, int] = {}
+    for g, i in occs:
+        if g not in first:
+            first[g] = i
+    covered: set[int] = set()
+    for g, i in occs:
+        if grams[g] > 1 and i > first[g]:
+            covered.update(range(i, i + n))
+    dup_chars = sum(len(ws[i]) for i in covered)
+    return dup_chars / text_len
+
+
+def gopher_repetition(
+    text: str, cfg: GopherRepetitionConfig = GopherRepetitionConfig()
+) -> str | None:
+    """Provenance: gopher_repetition_filter.py:110-142 (check order kept)."""
+    text_len = len(text)
+    paras = re.split(r"\n{2,}", text.strip())
+    dup_p, dup_p_chars = _find_duplicates(paras)
+    if dup_p / len(paras) > cfg.dup_para_frac:
+        return "dup_para_frac"
+    if dup_p_chars / text_len > cfg.dup_para_char_frac:
+        return "dup_para_char_frac"
+    lns = re.split(r"\n+", text.strip())
+    dup_l, dup_l_chars = _find_duplicates(lns)
+    if dup_l / len(lns) > cfg.dup_line_frac:
+        return "dup_line_frac"
+    if dup_l_chars / text_len > cfg.dup_line_char_frac:
+        return "dup_line_char_frac"
+    ws = words(text)
+    for n, frac in cfg.top_n_grams:
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        if not grams:
+            continue
+        counts = Counter(grams)
+        top_count = max(counts.values())
+        # deterministic tie-break: lexicographically smallest among most frequent
+        top_gram = min(g for g, c in counts.items() if c == top_count)
+        if len(top_gram) * top_count / text_len > frac:
+            return f"top_{n}_gram"
+    for n, frac in cfg.dup_n_grams:
+        if _dup_ngram_char_frac(ws, n, text_len) > frac:
+            return f"duplicated_{n}_n_grams"
+    return None
+
+
+def c4_quality(
+    text: str, cfg: C4QualityConfig = C4QualityConfig()
+) -> tuple[str | None, str]:
+    """Returns (drop_reason or None, rewritten_text). Provenance:
+    c4_filters.py:88-135 (line scan order kept; sentence counting uses the
+    engine's portable sentence splitter)."""
+    kept_lines: list[str] = []
+    num_sentences = 0
+    for raw in text.split("\n"):
+        line = raw.strip()
+        ws = line.split()
+        if cfg.max_word_length != -1 and any(len(w) > cfg.max_word_length for w in ws):
+            continue
+        if cfg.remove_citations:
+            line = _CITATION_RE.sub("", line)
+        if cfg.filter_no_terminal_punct and (
+            not line.endswith((".", "?", "!", '"', "'")) or line.endswith("...")
+        ):
+            continue
+        if len(ws) < cfg.min_words_per_line:
+            continue
+        line_l = line.lower()
+        if cfg.filter_lorem_ipsum and "lorem ipsum" in line_l:
+            return "lorem_ipsum", text
+        if cfg.filter_javascript and "javascript" in line_l:
+            continue
+        if cfg.filter_curly_bracket and "{" in line:
+            return "curly_bracket", text
+        if cfg.filter_policy and any(p in line_l for p in POLICY_SUBSTRINGS):
+            continue
+        num_sentences += len(sentences(line))
+        kept_lines.append(line)
+    if num_sentences < cfg.min_num_sentences:
+        return "too_few_sentences", text
+    return None, "\n".join(kept_lines).strip()
+
+
+def fineweb_quality(
+    text: str, cfg: FineWebQualityConfig = FineWebQualityConfig()
+) -> str | None:
+    """Provenance: fineweb_quality_filter.py:31-54."""
+    lns = text.split("\n")
+    punct_ratio = sum(1 for ln in lns if ln.endswith(FINEWEB_STOP_CHARS)) / len(lns)
+    if punct_ratio <= cfg.line_punct_thr and not (
+        punct_ratio == 0 and cfg.line_punct_exclude_zero
+    ):
+        return "line_punct_ratio"
+    short_ratio = sum(1 for ln in lns if len(ln) <= cfg.short_line_length) / len(lns)
+    if short_ratio >= cfg.short_line_thr:
+        return "short_line_ratio"
+    non_empty = [ln for ln in lns if ln.strip() != ""]
+    dup_chars = _find_duplicates(non_empty)[1]
+    if dup_chars / len(text.replace("\n", "")) >= cfg.char_duplicates_ratio:
+        return "char_dup_ratio"
+    ws = words(text)
+    if text.count("\n") / len(ws) > cfg.new_line_ratio:
+        return "list_ratio"
+    return None
+
+
+def unigram_log_prob(
+    text: str,
+    freqs: dict[str, float],
+    cfg: UnigramLogProbConfig = UnigramLogProbConfig(),
+) -> float:
+    """Mean ln P(word); provenance: unigram_log_probs.py:62-68."""
+    ws = words(text)
+    if not ws:
+        return 0.0
+    return sum(math.log(freqs.get(w.lower(), cfg.unknown_freq)) for w in ws) / len(ws)
