@@ -94,6 +94,16 @@ def gopher_quality(text: str, cfg: GopherQualityConfig = GopherQualityConfig()) 
     return None
 
 
+def _ratio_gt(num: float, den: float, thr: float) -> bool:
+    """num/den > thr with zero-denominator -> False (NULL-propagation parity
+    with the Spark / DuckDB nullif-guarded divisions)."""
+    return den != 0 and num / den > thr
+
+
+def _ratio_ge(num: float, den: float, thr: float) -> bool:
+    return den != 0 and num / den >= thr
+
+
 def _find_duplicates(elements: list[str]) -> tuple[int, int]:
     """(duplicate element count, duplicate char count) — every occurrence
     after the first of each distinct element counts
@@ -142,15 +152,15 @@ def gopher_repetition(
     text_len = len(text)
     paras = re.split(r"\n{2,}", text.strip())
     dup_p, dup_p_chars = _find_duplicates(paras)
-    if dup_p / len(paras) > cfg.dup_para_frac:
+    if _ratio_gt(dup_p, len(paras), cfg.dup_para_frac):
         return "dup_para_frac"
-    if dup_p_chars / text_len > cfg.dup_para_char_frac:
+    if _ratio_gt(dup_p_chars, text_len, cfg.dup_para_char_frac):
         return "dup_para_char_frac"
     lns = re.split(r"\n+", text.strip())
     dup_l, dup_l_chars = _find_duplicates(lns)
-    if dup_l / len(lns) > cfg.dup_line_frac:
+    if _ratio_gt(dup_l, len(lns), cfg.dup_line_frac):
         return "dup_line_frac"
-    if dup_l_chars / text_len > cfg.dup_line_char_frac:
+    if _ratio_gt(dup_l_chars, text_len, cfg.dup_line_char_frac):
         return "dup_line_char_frac"
     ws = words(text)
     for n, frac in cfg.top_n_grams:
@@ -161,10 +171,10 @@ def gopher_repetition(
         top_count = max(counts.values())
         # deterministic tie-break: lexicographically smallest among most frequent
         top_gram = min(g for g, c in counts.items() if c == top_count)
-        if len(top_gram) * top_count / text_len > frac:
+        if _ratio_gt(len(top_gram) * top_count, text_len, frac):
             return f"top_{n}_gram"
     for n, frac in cfg.dup_n_grams:
-        if _dup_ngram_char_frac(ws, n, text_len) > frac:
+        if text_len and _dup_ngram_char_frac(ws, n, text_len) > frac:
             return f"duplicated_{n}_n_grams"
     return None
 
@@ -221,10 +231,10 @@ def fineweb_quality(
         return "short_line_ratio"
     non_empty = [ln for ln in lns if ln.strip() != ""]
     dup_chars = _find_duplicates(non_empty)[1]
-    if dup_chars / len(text.replace("\n", "")) >= cfg.char_duplicates_ratio:
+    if _ratio_ge(dup_chars, len(text.replace("\n", "")), cfg.char_duplicates_ratio):
         return "char_dup_ratio"
     ws = words(text)
-    if text.count("\n") / len(ws) > cfg.new_line_ratio:
+    if _ratio_gt(text.count("\n"), len(ws), cfg.new_line_ratio):
         return "list_ratio"
     return None
 

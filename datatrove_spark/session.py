@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # legacy NULL-propagating arithmetic (div-by-zero -> NULL, out-of-range
+        # element_at -> NULL): matches the nullif-guarded SQL oracles and keeps
+        # when-chains total without per-branch guards.
+        .config("spark.sql.ansi.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
