@@ -1,0 +1,132 @@
+"""Query registry — the single source of truth behind ``__spark_entry__.py``.
+
+Each entry maps a name from SURVEY.md §2 to
+
+    spark:  Callable[(SparkSession, sf_dir str)] -> DataFrame
+    oracle: equivalent DuckDB ANSI-SQL string (or None for ops whose
+            semantics are not single-query SQL-expressible; those get the
+            weaker rows-only check)
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the SQL so the driver's order-insensitive value-hash compare
+(sort columns by name, hash values) matches exactly. Float-valued outputs are
+rounded to a fixed scale on BOTH sides for bit-stable hashes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datatrove_spark.operators import (
+    c4_quality,
+    fineweb_quality,
+    gopher_quality,
+    gopher_repetition,
+)
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = gopher_quality.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "gopher_quality_reason", "gopher_quality_keep")
+
+
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = gopher_repetition.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "gopher_repetition_reason")
+
+
+def _q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = c4_quality.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "c4_quality_reason", "c4_quality_keep", "c4_quality_text")
+
+
+def _q_fineweb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = fineweb_quality.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "fineweb_quality_reason")
+
+
+def quality_pipeline(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """FineWeb-order heuristic battery (SURVEY.md §7.1 step 4) as one lazy
+    plan: gopher_repetition -> gopher_quality -> c4 (with rewrite) ->
+    fineweb, short-circuiting reasons in stage order; `text` holds the C4
+    rewritten text for kept docs."""
+    df = gopher_repetition.apply(df, text_col)
+    df = gopher_quality.apply(df, text_col)
+    df = c4_quality.apply(df, text_col)
+    # downstream stages see the C4-rewritten text (reference mutates doc.text)
+    df = df.withColumn(text_col, F.col(f"{c4_quality.NAME}_text"))
+    df = fineweb_quality.apply(df, text_col)
+    reason = F.coalesce(
+        F.col("gopher_repetition_reason"),
+        F.col("gopher_quality_reason"),
+        F.col("c4_quality_reason"),
+        F.col("fineweb_quality_reason"),
+    )
+    return df.withColumn("drop_reason", reason).withColumn("keep", reason.isNull())
+
+
+def _q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = quality_pipeline(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "keep", "drop_reason", F.col("text").alias("final_text"))
+
+
+def _oracle_quality_pipeline() -> str:
+    # chain the per-operator oracles through CTEs; c4 rewrite feeds fineweb
+    gq = gopher_quality.oracle_sql()
+    gr = gopher_repetition.oracle_sql()
+    c4 = c4_quality.oracle_sql()
+    fw = fineweb_quality.oracle_sql(table="c4_rewritten", text_col="text")
+    return f"""
+WITH gq AS ({gq}), gr AS ({gr}), c4 AS ({c4}),
+c4_rewritten AS (
+  SELECT d.doc_id, c4.c4_quality_text AS text FROM documents d JOIN c4 USING (doc_id)
+),
+fw AS ({fw})
+SELECT d.doc_id,
+  coalesce(gr.gopher_repetition_reason, gq.gopher_quality_reason,
+           c4.c4_quality_reason, fw.fineweb_quality_reason) AS drop_reason,
+  (coalesce(gr.gopher_repetition_reason, gq.gopher_quality_reason,
+            c4.c4_quality_reason, fw.fineweb_quality_reason) IS NULL) AS keep,
+  c4.c4_quality_text AS final_text
+FROM documents d
+JOIN gq USING (doc_id) JOIN gr USING (doc_id)
+JOIN c4 USING (doc_id) JOIN fw USING (doc_id)
+""".strip()
+
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "gopher_quality": (_q_gopher_quality, gopher_quality.oracle_sql()),
+    "gopher_repetition": (_q_gopher_repetition, gopher_repetition.oracle_sql()),
+    "c4_quality": (_q_c4_quality, c4_quality.oracle_sql()),
+    "fineweb_quality": (_q_fineweb_quality, fineweb_quality.oracle_sql()),
+    "quality_pipeline": (_q_quality_pipeline, _oracle_quality_pipeline()),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

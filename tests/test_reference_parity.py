@@ -1,0 +1,96 @@
+"""Kernel parity: Spark operators vs the pure-Python single-doc reference
+(`datatrove_spark.reference_impl.filters`) on crafted docs that exercise
+every drop reason — mirrors the reference's own test style
+(/root/reference/tests/pipeline/test_filters.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatrove_spark.operators import c4_quality, fineweb_quality, gopher_quality, gopher_repetition
+from datatrove_spark.reference_impl import filters as ref
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and runs far away to the hills. "
+    "It was a bright morning and the birds were singing with joy in the trees. "
+    "Every day the people of the town would walk to the market with their goods. "
+    "They would trade stories and bread and have a fine time among friends. "
+    "Nothing could spoil the calm of that place, not even the rain that fell at night."
+)
+
+DOCS = [
+    GOOD,
+    "too short.",
+    "word " * 200_000,
+    "aa " * 80,  # avg word length 2 -> below threshold
+    "Pneumonoultramicroscopicsilicovolcanoconiosis antidisestablishmentarianism " * 40,
+    GOOD + " ##" * 20,
+    GOOD + " ..." * 20,
+    "\n".join(["• bullet point item here"] * 30),
+    "\n".join([f"line {i} trails off..." for i in range(30)]),
+    "12345 67890 " * 60,
+    "lorem dolor sit amet " * 30,  # no stop words
+    GOOD + ("\nrepeat me\n" * 10),  # dup lines
+    ("I am your father.\n" * 4) + GOOD,
+    GOOD + (" the cat sat" * 50),  # top 3-gram repetition
+    "A B C D E F G H I J " * 30,
+    GOOD.replace(".", "") ,
+    GOOD + "\nthis line has javascript in it.",
+    GOOD + "\nPlease read our privacy policy today.",
+    GOOD + "\nLorem ipsum dolor sit amet.",
+    GOOD + "\nfunction f() { return 1; }",
+    GOOD + "\n[1] A citation sits here fine.",
+    "Short.\nTiny.\nWee.\n" * 10,
+    "",
+    "   \n  \n ",
+    "\n".join(["This is a good long line that ends with a period and is fine."] * 3 + ["x"] * 20),
+]
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    rows = [(i, t) for i, t in enumerate(DOCS)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _collect(df, *cols):
+    return {r[0]: tuple(r[1:]) for r in df.select("doc_id", *cols).collect()}
+
+
+def test_gopher_quality_matches_python(spark, crafted):
+    got = _collect(gopher_quality.apply(crafted), "gopher_quality_reason")
+    for i, t in enumerate(DOCS):
+        assert got[i][0] == ref.gopher_quality(t), f"doc {i}"
+
+
+def test_gopher_repetition_matches_python(spark, crafted):
+    got = _collect(gopher_repetition.apply(crafted), "gopher_repetition_reason")
+    for i, t in enumerate(DOCS):
+        assert got[i][0] == ref.gopher_repetition(t), f"doc {i}"
+
+
+def test_c4_quality_matches_python(spark, crafted):
+    got = _collect(c4_quality.apply(crafted), "c4_quality_reason", "c4_quality_text")
+    for i, t in enumerate(DOCS):
+        reason, new_text = ref.c4_quality(t)
+        assert got[i] == (reason, new_text), f"doc {i}"
+
+
+def test_fineweb_quality_matches_python(spark, crafted):
+    got = _collect(fineweb_quality.apply(crafted), "fineweb_quality_reason")
+    for i, t in enumerate(DOCS):
+        assert got[i][0] == ref.fineweb_quality(t), f"doc {i}"
+
+
+def test_drop_reasons_covered(spark, crafted):
+    """The crafted corpus must exercise a broad set of distinct reasons."""
+    from datatrove_spark.registry import quality_pipeline
+
+    reasons = {
+        r[0]
+        for r in quality_pipeline(crafted).select("drop_reason").distinct().collect()
+        if r[0] is not None
+    }
+    # (stage order masks some reasons: repetition runs before gopher/c4/fineweb)
+    assert len(reasons) >= 7, reasons

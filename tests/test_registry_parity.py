@@ -1,0 +1,77 @@
+"""Driver-shaped correctness gate: for every registry entry with a SQL
+oracle, run the Spark query and the DuckDB oracle on the same parquet tables
+and compare row sets exactly (the driver hashes sorted values; we compare the
+values themselves for debuggable failures)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from datatrove_spark import registry
+from tests.conftest import SF_MEDIUM, SF_SMALL
+
+ORACLES = registry.oracle_sql()
+NAMES = sorted(registry.queries())
+
+
+def normalize(rows, columns):
+    """Sort columns by name, then rows; normalize NaN/float for comparison."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 9)
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [c for c in sorted(columns)], out
+
+
+def run_compare(spark, duck, name, sf_dir):
+    fn = registry.queries()[name]
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(ORACLES[name])
+    d_cols = list(rel.columns)
+    d_rows = [tuple(r) for r in rel.fetchall()]
+
+    sc, sr = normalize(s_rows, s_cols)
+    dc, dr = normalize(d_rows, d_cols)
+    assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
+    assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
+    mism = [(a, b) for a, b in zip(sr, dr) if a != b]
+    assert not mism, f"{name}: {len(mism)} row mismatches; first: {mism[0]}"
+
+
+@pytest.mark.parametrize("name", [n for n in NAMES if n in ORACLES])
+def test_oracle_parity_small(spark, duck_small, name):
+    run_compare(spark, duck_small, name, SF_SMALL)
+
+
+@pytest.mark.parametrize("name", [n for n in NAMES if n in ORACLES])
+def test_oracle_parity_medium(spark, duck_medium, name):
+    run_compare(spark, duck_medium, name, SF_MEDIUM)
+
+
+@pytest.mark.parametrize("name", [n for n in NAMES if n not in ORACLES])
+def test_rows_only(spark, name):
+    """Entries without a SQL oracle must still run and return a stable schema."""
+    fn = registry.queries()[name]
+    df = fn(spark, SF_SMALL)
+    assert df.columns
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries()) >= set(e.oracle_sql())
