@@ -117,6 +117,12 @@ class FineWebQualityConfig:
 
 
 @dataclass(frozen=True)
+class LangIdConfig:
+    languages: tuple[str, ...] = ("en",)
+    threshold: float = 0.05  # hit-ratio scale (see operators/langid.py docstring)
+
+
+@dataclass(frozen=True)
 class UnigramLogProbConfig:
     logprobs_threshold: float = -10.0
     unknown_freq: float = 1e-9  # unigram_log_probs.py:64

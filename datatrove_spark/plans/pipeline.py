@@ -1,0 +1,123 @@
+"""Pipeline compositor: datatrove's pipeline-block abstraction, Spark-first.
+
+The reference executes a Python list of PipelineStep objects per rank
+(/root/reference/src/datatrove/executor/base.py:80-88) with per-rank
+completion markers for resume (:106-127) and per-step counters. Here:
+
+- a *stage* is a named ``DataFrame -> DataFrame`` transformation that may add
+  ``<name>_reason`` / ``<name>_keep`` / rewritten-text columns — composition
+  builds ONE lazy Catalyst plan, so whole-stage codegen fuses every native
+  stage and Arrow pipelining batches the pandas-UDF stages; nothing
+  materializes between stages.
+- ``run_pipeline`` materializes once into a dual sink: a single
+  ``partitionBy("keep")`` parquet write (kept + removed in one pass — no
+  cache of the full corpus, no recompute; the Iceberg equivalent is
+  ``writeTo(...).partitionedBy("keep").createOrReplace()``).
+- resume: a stage output whose ``_SUCCESS`` marker exists is not recomputed
+  (the file-level analog of checking an Iceberg snapshot).
+- metrics: per-reason counts + per-partition lineage rows are computed from
+  the *written* files (cheap column-pruned scan) and saved as JSON —
+  matching the reference's Stats JSON (executor/base.py:92-98).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Stage:
+    name: str
+    fn: Callable[[DataFrame], DataFrame]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.fn(df)
+
+
+def compose(df: DataFrame, stages: Sequence[Stage]) -> DataFrame:
+    """Chain stages into one lazy plan and derive the combined keep/drop:
+    drop_reason = first stage's reason in stage order (reference short-circuit
+    semantics, base_filter.py:45-63)."""
+    reason_cols = []
+    for st in stages:
+        df = st(df)
+        rc = f"{st.name}_reason"
+        if rc in df.columns:
+            reason_cols.append(rc)
+    if reason_cols:
+        reason = F.coalesce(*[F.col(c) for c in reason_cols])
+    else:
+        reason = F.lit(None).cast("string")
+    return df.withColumn("drop_reason", reason).withColumn("keep", reason.isNull())
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    df: DataFrame,
+    stages: Sequence[Stage],
+    out_dir: str,
+    resume: bool = True,
+) -> dict:
+    """Execute the composed plan into ``{out_dir}/data/keep={true,false}``
+    with one pass, then write metrics. Returns the metrics dict.
+
+    Resume contract: if the data sink is already complete, skip the compute
+    entirely (idempotent re-run, north-rule resumability)."""
+    data_dir = os.path.join(out_dir, "data")
+    metrics_path = os.path.join(out_dir, "metrics.json")
+
+    if not (resume and _done(data_dir)):
+        annotated = compose(df, stages)
+        # one materialization, both sinks: partition pruning turns
+        # "read the kept docs" into a file-level filter downstream.
+        annotated.write.mode("overwrite").partitionBy("keep").parquet(data_dir)
+
+    written = _read(spark, data_dir)
+    by_reason = {
+        (r["drop_reason"] or "__kept__"): r["n"]
+        for r in written.groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
+    }
+    # per-partition lineage: rows per spark input partition of the sink scan
+    lineage = [
+        {"partition": r["p"], "rows": r["n"]}
+        for r in written.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    metrics = {
+        "total": int(sum(by_reason.values())),
+        "kept": int(by_reason.get("__kept__", 0)),
+        "dropped_by_reason": {k: int(v) for k, v in sorted(by_reason.items()) if k != "__kept__"},
+        "stages": [st.name for st in stages],
+        "partitions": lineage,
+    }
+    with open(metrics_path, "w") as f:
+        json.dump(metrics, f, indent=1, sort_keys=True)
+    return metrics
+
+
+def _read(spark: SparkSession, data_dir: str) -> DataFrame:
+    # partition-column inference yields STRING for booleans; filtering on the
+    # raw partition value keeps partition pruning intact, then we restore the
+    # boolean type for callers.
+    df = spark.read.parquet(data_dir)
+    return df.withColumn("keep", F.col("keep").cast("boolean"))
+
+
+def kept(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Partition-pruned view of the kept documents."""
+    return _read(spark, os.path.join(out_dir, "data")).filter(F.col("keep"))
+
+
+def removed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return _read(spark, os.path.join(out_dir, "data")).filter(~F.col("keep"))

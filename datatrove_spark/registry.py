@@ -22,9 +22,14 @@ from pyspark.sql import functions as F
 
 from datatrove_spark.operators import (
     c4_quality,
+    exact_dedup,
     fineweb_quality,
     gopher_quality,
     gopher_repetition,
+    langid,
+    token_stats,
+    unigram_logprob,
+    url_dedup,
 )
 
 TABLES = (
@@ -114,6 +119,53 @@ JOIN c4 USING (doc_id) JOIN fw USING (doc_id)
 """.strip()
 
 
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = langid.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "language", "language_score", "langid_keep")
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = unigram_logprob.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "unigram_logprob", "unigram_logprob_keep")
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = token_stats.with_token_count(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "token_count")
+
+
+def _q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats.group_stats(load(spark, sf_dir, "documents"), "lang")
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats.length_histogram(load(spark, sf_dir, "documents"))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = exact_dedup.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "dup_of", "exact_dedup_keep")
+
+
+# synthetic URL over the documents table: 20 sources x 7 slots -> ~3.5
+# docs/url, a real dedup workload; priority = n_chars (bigger doc wins).
+_URL_SPARK = lambda: F.concat(  # noqa: E731
+    F.lit("https://"), F.col("source"), F.lit(".example.com/p/"), F.pmod(F.col("doc_id"), F.lit(7))
+)
+_URL_SQL = "'https://' || source || '.example.com/p/' || (doc_id % 7)"
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").withColumn("url", _URL_SPARK())
+    df = url_dedup.apply(df, priority_col="n_chars")
+    return df.select("doc_id", "url", "url_dedup_keep")
+
+
+def _oracle_url_dedup() -> str:
+    inner = url_dedup.oracle_sql("documents", _URL_SQL, priority_expr="n_chars")
+    return f"SELECT d.doc_id, {_URL_SQL} AS url, u.url_dedup_keep FROM documents d JOIN ({inner}) u USING (doc_id)"
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gopher_quality": (_q_gopher_quality, gopher_quality.oracle_sql()),
@@ -121,6 +173,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "c4_quality": (_q_c4_quality, c4_quality.oracle_sql()),
     "fineweb_quality": (_q_fineweb_quality, fineweb_quality.oracle_sql()),
     "quality_pipeline": (_q_quality_pipeline, _oracle_quality_pipeline()),
+    "langid": (_q_langid, langid.oracle_sql()),
+    "unigram_logprob": (_q_unigram_logprob, unigram_logprob.oracle_sql()),
+    "token_count": (_q_token_count, token_stats.oracle_sql_doc_tokens()),
+    "token_stats_by_lang": (_q_token_stats_by_lang, token_stats.oracle_sql_group_stats()),
+    "length_histogram": (_q_length_histogram, token_stats.oracle_sql_length_histogram()),
+    "exact_dedup": (_q_exact_dedup, exact_dedup.oracle_sql()),
+    "url_dedup": (_q_url_dedup, _oracle_url_dedup()),
 }
 
 
