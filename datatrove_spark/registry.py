@@ -27,6 +27,7 @@ from datatrove_spark.operators import (
     gopher_quality,
     gopher_repetition,
     langid,
+    pii,
     token_stats,
     unigram_logprob,
     url_dedup,
@@ -166,6 +167,37 @@ def _oracle_url_dedup() -> str:
     return f"SELECT d.doc_id, {_URL_SQL} AS url, u.url_dedup_keep FROM documents d JOIN ({inner}) u USING (doc_id)"
 
 
+# PII-bearing text synthesized deterministically from documents columns so
+# the scrub exercises email cycling + public/private/multicast IP branches.
+def _pii_text_spark() -> F.Column:
+    ip1 = F.concat_ws(
+        ".",
+        (F.pmod(F.col("doc_id"), F.lit(223)) + 1).cast("string"),
+        F.pmod(F.col("doc_id"), F.lit(251)).cast("string"),
+        F.pmod(F.col("doc_id"), F.lit(241)).cast("string"),
+        (F.pmod(F.col("doc_id"), F.lit(253)) + 1).cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact john.doe@mail-"), F.col("source"),
+        F.lit(".org or admin@"), F.col("source"),
+        F.lit(".example.com now. Servers: "), ip1,
+        F.lit(", 10.0.0.1, 8.8.8.8, 224.0.0.5."),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' Contact john.doe@mail-' || source || '.org or admin@' || source || "
+    "'.example.com now. Servers: ' || (doc_id % 223 + 1) || '.' || (doc_id % 251) || '.' || "
+    "(doc_id % 241) || '.' || (doc_id % 253 + 1) || ', 10.0.0.1, 8.8.8.8, 224.0.0.5.'"
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").withColumn("text", _pii_text_spark())
+    return pii.apply(df).select("doc_id", "pii_text")
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gopher_quality": (_q_gopher_quality, gopher_quality.oracle_sql()),
@@ -180,6 +212,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "length_histogram": (_q_length_histogram, token_stats.oracle_sql_length_histogram()),
     "exact_dedup": (_q_exact_dedup, exact_dedup.oracle_sql()),
     "url_dedup": (_q_url_dedup, _oracle_url_dedup()),
+    "pii_scrub": (_q_pii_scrub, pii.oracle_sql(text_expr=_PII_TEXT_SQL)),
 }
 
 
