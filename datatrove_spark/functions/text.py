@@ -82,11 +82,14 @@ def char_count(text: Column, ch: str) -> Column:
 
 
 def word_ngrams(ws: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (gopher_repetition_filter.py:31-32)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1))),
+    """Array of space-joined word n-grams (gopher_repetition_filter.py:31-32).
+    Empty array when fewer than n words (NB: F.sequence(0, -1) would count
+    DOWN, so the short case must be guarded explicitly)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
         lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
     )
+    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def sentences(text: Column | str) -> Column:

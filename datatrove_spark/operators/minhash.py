@@ -1,0 +1,234 @@
+"""MinHash near-deduplication — LSH banding + connected components.
+
+Reference: the 4-stage minhash pipeline (src/datatrove/pipeline/dedup/
+minhash.py) — signatures over 5-gram shingles of simplified text with 14
+buckets x 8 universal hashes mod Mersenne-61 (:26,49-58,145-201), sorted
+signature files heap-merged per hash range to find equal-signature pairs
+(:286-413), single-task union-find clustering (:444-485), then an
+anti-membership filter (:510-556).
+
+Spark collapses the sorted-file machinery into relational form:
+
+  signatures  one narrow projection: shingle-hash array materialized once,
+              then per (bucket b, perm k) minima folded into one 60-bit
+              bucket signature — all integer math in whole-stage codegen;
+              emitted exploded as (doc_id, bucket_id, sig). Docs with fewer
+              than n_grams words have no shingles and emit no rows (the
+              reference likewise cannot dedup an empty signature).
+  pairs       groupBy(bucket_id, sig) -> sorted doc list -> adjacent-to-min
+              pairs (a < b). ONE hash-partitioned shuffle of (16-byte key,
+              id) rows replaces signature files + range-partitioned merges;
+              hot signatures (boilerplate pages) are exactly the skew AQE's
+              shuffle-split handles.
+  cluster     iterative min-label propagation over the (tiny) pair edge set
+              to a fixed point — the distributed replacement for the
+              reference's single-task / 25 GB / 30 h union-find stage
+              (examples/fineweb.py:146-151, the stated scalability cliff).
+              Label tables live in Spark; each round is a broadcast-friendly
+              join because |pairs| << |docs|.
+  filter      cluster representative = component minimum -> keep iff
+              doc_id == representative; everything else records dup_of.
+
+Hashing is the engine's portable h60/perm family (functions/hashing.py) so
+the DuckDB oracle reproduces signatures bit-for-bit; clustering's oracle is
+a recursive CTE computing min-reachable-id (documented in
+tests/test_registry_parity via the registry entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datatrove_spark.config import MERSENNE_61, MinHashConfig
+from datatrove_spark.functions import text as T
+from datatrove_spark.functions.hashing import hash60, perm_coeffs, sql_hash60, sql_perm_hash
+
+NAME = "minhash"
+
+
+def _shingle_hashes(text_col: Column, cfg: MinHashConfig) -> Column:
+    ws = T.words(T.simplify_text(text_col))
+    shingles = F.array_distinct(T.word_ngrams(ws, cfg.n_grams))
+    return F.transform(shingles, lambda s: hash60(s))
+
+
+def _perm_min(hashes: Column, k: int) -> Column:
+    a, b = perm_coeffs(k)
+    m61 = F.lit(MERSENNE_61).cast("decimal(38,0)")
+    return F.array_min(
+        F.transform(
+            hashes,
+            lambda h: (
+                (h.cast("decimal(38,0)") * F.lit(a).cast("decimal(38,0)")
+                 + F.lit(b).cast("decimal(38,0)")) % m61
+            ).cast("long"),
+        )
+    )
+
+
+def signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: MinHashConfig = MinHashConfig()
+) -> DataFrame:
+    """(id, bucket_id, sig): one 60-bit signature per bucket per doc."""
+    d = df.select(id_col, _shingle_hashes(F.col(text_col), cfg).alias("hs")).filter(
+        F.size("hs") > 0
+    )
+    bucket_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bucket_id"),
+                hash60(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            _perm_min(F.col("hs"), b * cfg.hashes_per_bucket + i).cast("string")
+                            for i in range(cfg.hashes_per_bucket)
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for b in range(cfg.num_buckets)
+        ]
+    )
+    return d.select(id_col, F.explode(bucket_sigs).alias("bs")).select(
+        id_col, F.col("bs.bucket_id").alias("bucket_id"), F.col("bs.sig").alias("sig")
+    )
+
+
+def pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: MinHashConfig = MinHashConfig()
+) -> DataFrame:
+    """Distinct (a, b) with a < b sharing at least one bucket signature."""
+    sigs = signatures(df, id_col, text_col, cfg)
+    grouped = sigs.groupBy("bucket_id", "sig").agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+    edges = grouped.filter(F.size("ids") > 1).select(
+        F.element_at("ids", 1).alias("a"), F.explode(F.slice("ids", 2, 1_000_000)).alias("b")
+    )
+    return edges.distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, rep): min reachable id per component, via min-label
+    propagation to a fixed point. Edge list is assumed small relative to the
+    corpus (only docs sharing a signature); each round is one shuffle of the
+    label table, checkpoint-free because the lineage is short."""
+    sym = edges.selectExpr("a AS x", "b AS y").union(edges.selectExpr("b AS x", "a AS y"))
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("rep").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias("rep"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def apply(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: MinHashConfig = MinHashConfig()
+) -> DataFrame:
+    """Adds minhash_keep + dup_of (component representative)."""
+    comp = connected_components(pairs(df, id_col, text_col, cfg))
+    out = df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+    return (
+        out.withColumn("dup_of", F.when(F.col("rep") != F.col(id_col), F.col("rep")))
+        .withColumn(f"{NAME}_keep", F.col("dup_of").isNull())
+        .drop("rep")
+    )
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+_SIMPLIFY = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'), '[0-9]+', '0', 'g'))"
+)
+
+
+def _sql_shingle_hashes(text_col: str, cfg: MinHashConfig) -> str:
+    simp = _SIMPLIFY.format(t=text_col)
+    ws = f"regexp_extract_all({simp}, '\\S+')"
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({ws}) - {cfg.n_grams} + 1, 0) + 1), "
+        f"i -> array_to_string(({ws})[i:i+{cfg.n_grams}-1], ' ')))"
+    )
+    return f"list_transform({shingles}, s -> {sql_hash60('s')})"
+
+
+def oracle_sql_signatures(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> str:
+    bucket_rows = []
+    for b in range(cfg.num_buckets):
+        minima = " || ',' || ".join(
+            f"(list_min(list_transform(hs, h -> {sql_perm_hash('h', b * cfg.hashes_per_bucket + i)})))::VARCHAR"
+            for i in range(cfg.hashes_per_bucket)
+        )
+        bucket_rows.append(f"SELECT id AS {id_col}, {b} AS bucket_id, {sql_hash60(f'({minima})')} AS sig FROM hashed")
+    union = "\nUNION ALL\n".join(bucket_rows)
+    return f"""
+WITH hashed AS (
+  SELECT {id_col} AS id, {_sql_shingle_hashes(text_col, cfg)} AS hs FROM {table}
+  WHERE len({_sql_shingle_hashes(text_col, cfg)}) > 0
+)
+{union}
+""".strip()
+
+
+def oracle_sql_pairs(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> str:
+    sigs = oracle_sql_signatures(table, id_col, text_col, cfg)
+    return f"""
+WITH sigs AS ({sigs})
+SELECT DISTINCT min({id_col}) OVER (PARTITION BY bucket_id, sig) AS a, {id_col} AS b
+FROM sigs
+QUALIFY a < b
+""".strip()
+
+
+def oracle_sql_dedup(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> str:
+    """Recursive min-reachable-id clustering over the pair edges."""
+    prs = oracle_sql_pairs(table, id_col, text_col, cfg)
+    return f"""
+WITH RECURSIVE prs AS ({prs}),
+edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+rep AS (
+  SELECT x AS node, least(min(y), x) AS rep FROM reach GROUP BY x
+)
+SELECT t.{id_col},
+  CASE WHEN rep.rep IS NOT NULL AND rep.rep != t.{id_col} THEN rep.rep END AS dup_of,
+  (rep.rep IS NULL OR rep.rep = t.{id_col}) AS {NAME}_keep
+FROM {table} t LEFT JOIN rep ON t.{id_col} = rep.node
+""".strip()

@@ -1,0 +1,147 @@
+"""Sentence-span deduplication — C4's "discard all but one of every
+3-sentence span" rule, with text rewrite.
+
+Reference: the 3-stage sentence_dedup pipeline (src/datatrove/pipeline/
+dedup/sentence_dedup.py) — span-hash signatures (:128-141), hash-range
+k-way-merge duplicate finding where the FIRST occurrence wins (:215-284),
+and a filter stage that removes duplicated spans and drops docs left with
+too little text (:322-444).
+
+Spark collapses signature files + merges into one window:
+
+    row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, sent_idx) > 1
+        -> duplicate span occurrences
+
+"First occurrence" is defined on DATA order (doc_id, sent_idx) — the
+deterministic global ordering SURVEY.md §7.3.3 requires — not on file
+arrival order like the reference.
+
+Engine text semantics: sentences are the portable splitter's raw matches
+(functions/text.py sentences); span key = h60(simplify_text(3 consecutive
+raw sentences)); rewritten text = concatenation (no separator) of kept raw
+sentence matches, which preserves original inter-sentence spacing. A doc is
+dropped when fewer than cfg.min_sentences sentences or cfg.min_words words
+survive (sentence_dedup.py:322-444 semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datatrove_spark.functions import text as T
+from datatrove_spark.functions.hashing import hash60, sql_hash60
+
+NAME = "sentence_dedup"
+
+
+@dataclass(frozen=True)
+class SentenceDedupConfig:
+    span: int = 3
+    min_sentences: int = 3
+    min_words: int = 50
+
+
+def apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: SentenceDedupConfig = SentenceDedupConfig(),
+) -> DataFrame:
+    n = cfg.span
+    sent = df.select(id_col, T.sentences(F.col(text_col)).alias("sents"))
+    spans = (
+        sent.filter(F.size("sents") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("sents") - n),
+                    lambda i: F.struct(
+                        i.alias("sent_idx"),
+                        hash60(
+                            T.simplify_text(F.array_join(F.slice(F.col("sents"), i + 1, n), ""))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select(id_col, F.col("sp.sent_idx").alias("sent_idx"), F.col("sp.h").alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("sent_idx").asc())
+    dup_spans = spans.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    covered = (
+        dup_spans.select(
+            id_col, F.explode(F.sequence(F.col("sent_idx"), F.col("sent_idx") + n - 1)).alias("ri")
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("ri").alias("remove_idx"))
+    )
+    out = df.join(covered, id_col, "left").withColumn(
+        "remove_idx", F.coalesce(F.col("remove_idx"), F.array().cast("array<int>"))
+    )
+    sents = T.sentences(F.col(text_col))
+    kept_sents = F.filter(
+        F.transform(sents, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
+        lambda st: ~F.array_contains(F.col("remove_idx"), st["i"]),
+    )
+    new_text = F.array_join(F.transform(kept_sents, lambda st: st["s"]), "")
+    # recount from the rebuilt text (same rule as the SQL oracle; re-splitting
+    # a concatenation of raw matches reproduces exactly those matches)
+    n_kept = F.size(T.sentences(new_text))
+    n_words = F.size(T.words(new_text))
+    keep = (n_kept >= cfg.min_sentences) & (n_words >= cfg.min_words)
+    return (
+        out.withColumn(f"{NAME}_text", new_text)
+        .withColumn(f"{NAME}_keep", keep)
+        .drop("remove_idx")
+    )
+
+
+_SIMPLIFY = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'), '[0-9]+', '0', 'g'))"
+)
+
+
+def oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: SentenceDedupConfig = SentenceDedupConfig(),
+) -> str:
+    n = cfg.span
+    sents = f"regexp_extract_all({text_col}, '[^.!?]+[.!?]+')"
+    simp = _SIMPLIFY.format(t=f"array_to_string(sents[i+1:i+{n}], '')")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {text_col} AS t, {sents} AS sents FROM {table}
+), spans AS (
+  SELECT id, u['i'] AS sent_idx, u['h'] AS h
+  FROM (
+    SELECT id, unnest(list_transform(range(0, len(sents) - {n} + 1),
+                i -> {{'i': i, 'h': {sql_hash60(f"({simp})")}}})) AS u
+    FROM base WHERE len(sents) >= {n}
+  )
+), dups AS (
+  SELECT id, sent_idx FROM (
+    SELECT id, sent_idx, row_number() OVER (PARTITION BY h ORDER BY id, sent_idx) AS rn
+    FROM spans
+  ) WHERE rn > 1
+), removed AS (
+  SELECT id, list_distinct(flatten(list(range(sent_idx, sent_idx + {n})))) AS ri
+  FROM dups GROUP BY id
+), rebuilt AS (
+  SELECT b.id, b.t,
+    coalesce(array_to_string(list_transform(
+      list_filter(list_transform(b.sents, (s, ix) -> {{'s': s, 'i': ix - 1}}),
+                  st -> NOT list_contains(coalesce(r.ri, []), st['i'])),
+      st -> st['s']), ''), '') AS new_text
+  FROM base b LEFT JOIN removed r ON b.id = r.id
+)
+SELECT id AS {id_col}, new_text AS {NAME}_text,
+  (len(regexp_extract_all(new_text, '[^.!?]+[.!?]+')) >= {cfg.min_sentences}
+   AND len(regexp_extract_all(new_text, '\\S+')) >= {cfg.min_words}) AS {NAME}_keep
+FROM rebuilt
+""".strip()

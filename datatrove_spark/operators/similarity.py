@@ -1,0 +1,258 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not present in the reference (datatrove's nearest analog is minhash
+similarity); required engine capability for embedding-based curation:
+
+- cosine_topk   exact brute-force top-k: broadcast the (small) query set
+                against the corpus — no shuffle of the corpus, one window
+                per query for ranking. The scale baseline.
+- lsh_buckets / ann_topk
+                random-hyperplane LSH: deterministic planes (h60-derived
+                rational coefficients, exactly representable in float64 in
+                every engine), bucket = sign-bit code; candidates = bucket
+                collision in any table, then exact cosine re-rank. The
+                100 TB path: the corpus is bucketed once (write-side), a
+                query touches only its candidate buckets.
+- neardup_pairs embedding near-duplicate pairs: cosine >= threshold,
+                connected-components dedup like minhash/simhash.
+
+Float determinism: dot products fold strictly left-to-right via
+zip_with+aggregate (Spark) and an index-range fold (DuckDB); inputs are
+float32 widened to float64, so both engines execute the identical IEEE
+operation sequence. Scores are rounded to 6dp only at the output boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datatrove_spark.functions.hashing import py_hash60
+from datatrove_spark.functions.vectors import cosine, dot, to_double_array
+
+NAME = "similarity"
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return cosine(to_double_array(a), to_double_array(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, rank, score): exact top-k by cosine, ties by id."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    score = _cos(F.col("__qv"), F.col(vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(score.desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "rank", F.round(score, 6).alias("score")
+        )
+    )
+
+
+# --- deterministic random-hyperplane LSH ------------------------------------
+
+
+def plane_coeff(table: int, plane: int, j: int) -> float:
+    """Rational in [-1, 1) with 3 decimal digits — exact in every float64."""
+    return (py_hash60(f"plane_{table}_{plane}_{j}") % 2001 - 1000) / 1000.0
+
+
+def _bucket_code(vec: Column, table: int, n_planes: int, dim: int) -> Column:
+    code = F.lit(0).cast("long")
+    v = to_double_array(vec)
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(plane_coeff(table, p, j)) for j in range(dim)])
+        d = dot(v, coeffs)
+        code = code + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return code
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, table_id, bucket): the write-side corpus index."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_code(F.col(vec_col), t, n_planes, dim).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(id_col, F.explode(buckets).alias("b")).select(
+        id_col, F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-candidate top-k: collide in any table, exact re-rank. Approximate
+    (recall < 1) but fully deterministic — same planes, same buckets."""
+    cb = lsh_buckets(corpus, id_col, vec_col, n_tables, n_planes, dim)
+    qb = lsh_buckets(queries, query_id_col, vec_col, n_tables, n_planes, dim)
+    cand = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .select(id_col, query_id_col)
+        .distinct()
+    )
+    qv = queries.select(query_id_col, F.col(vec_col).alias("__qv"))
+    cv = corpus.select(id_col, F.col(vec_col).alias("__cv"))
+    scored = cand.join(F.broadcast(qv), query_id_col).join(cv, id_col)
+    score = _cos(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy(query_id_col).orderBy(score.desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round(score, 6).alias("score"))
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b) pairs with cosine >= threshold (exact all-pairs; the scale
+    path replaces the self-join with lsh_buckets collision candidates)."""
+    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    joined = left.join(right, F.col("a") < F.col("b"))
+    return (
+        joined.withColumn("score", _cos(F.col("__va"), F.col("__vb")))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b")
+    )
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    d = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def oracle_sql_cosine_topk(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Queries = first n_queries vectors of the table (registry contract)."""
+    cos = _sql_cos("q.qv", f"c.{vec_col}")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table} WHERE {id_col} < {n_queries}
+), scored AS (
+  SELECT q.query_id, c.{id_col},
+         {cos} AS s,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {cos} DESC, c.{id_col} ASC) AS rank
+  FROM q CROSS JOIN {table} c
+)
+SELECT query_id, {id_col}, rank, round(s, 6) AS score FROM scored WHERE rank <= {k}
+""".strip()
+
+
+def sql_bucket_code(vec: str, table: int, n_planes: int, dim: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        coeffs = "[" + ", ".join(str(plane_coeff(table, p, j)) for j in range(dim)) + "]"
+        d = f"list_sum(list_transform(range(1, {dim} + 1), i -> ({vec})[i]::DOUBLE * ({coeffs})[i]))"
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _sql_planes_cte(n_tables: int, n_planes: int, dim: int) -> str:
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            coeffs = "[" + ", ".join(str(plane_coeff(t, p, j)) for j in range(dim)) + "]"
+            rows.append(f"({t}, {p}, {coeffs}::DOUBLE[])")
+    return "planes(table_id, p, cs) AS (SELECT * FROM (VALUES " + ", ".join(rows) + "))"
+
+
+def oracle_sql_ann_topk(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> str:
+    dot_pc = f"list_sum(list_transform(range(1, {dim} + 1), i -> v[i]::DOUBLE * cs[i]))"
+    cos = _sql_cos("q.qv", f"c.{vec_col}")
+    return f"""
+WITH {_sql_planes_cte(n_tables, n_planes, dim)},
+codes AS (
+  SELECT id, table_id,
+         sum(CASE WHEN {dot_pc} > 0 THEN 1 << p ELSE 0 END)::BIGINT AS bucket
+  FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {table}) CROSS JOIN planes
+  GROUP BY 1, 2
+), qids AS (
+  SELECT {id_col} AS qid FROM {table} WHERE {id_col} < {n_queries}
+), cand AS (
+  SELECT DISTINCT cq.id AS query_id, cc.id AS {id_col}
+  FROM codes cq JOIN qids ON cq.id = qids.qid
+  JOIN codes cc ON cq.table_id = cc.table_id AND cq.bucket = cc.bucket
+), scored AS (
+  SELECT cand.query_id, cand.{id_col},
+         {cos} AS s,
+         row_number() OVER (PARTITION BY cand.query_id ORDER BY {cos} DESC, cand.{id_col} ASC) AS rank
+  FROM cand
+  JOIN (SELECT {id_col} AS qid2, {vec_col} AS qv FROM {table}) q ON cand.query_id = q.qid2
+  JOIN {table} c ON cand.{id_col} = c.{id_col}
+)
+SELECT query_id, {id_col}, rank, round(s, 6) AS score FROM scored WHERE rank <= {k}
+""".strip()
+
+
+def oracle_sql_neardup_pairs(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = _sql_cos(f"l.{vec_col}", f"r.{vec_col}")
+    return f"""
+SELECT l.{id_col} AS a, r.{id_col} AS b
+FROM {table} l JOIN {table} r ON l.{id_col} < r.{id_col}
+WHERE {cos} >= {threshold}
+""".strip()

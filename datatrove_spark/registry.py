@@ -22,12 +22,17 @@ from pyspark.sql import functions as F
 
 from datatrove_spark.operators import (
     c4_quality,
+    decont,
     exact_dedup,
     fineweb_quality,
     gopher_quality,
     gopher_repetition,
     langid,
+    minhash,
     pii,
+    sentence_dedup,
+    simhash,
+    similarity,
     token_stats,
     unigram_logprob,
     url_dedup,
@@ -198,6 +203,56 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.apply(df).select("doc_id", "pii_text")
 
 
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.signatures(load(spark, sf_dir, "documents"))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.pairs(load(spark, sf_dir, "documents"))
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = minhash.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "dup_of", "minhash_keep")
+
+
+def _q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash.fingerprints(load(spark, sf_dir, "documents"))
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = simhash.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "dup_of", "simhash_keep")
+
+
+def _q_decont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    index = decont.build_index(docs.filter("doc_id < 25"))
+    corpus = docs.filter("doc_id >= 25")
+    return decont.apply(corpus, index).select("doc_id", "decont_keep")
+
+
+def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sentence_dedup.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "sentence_dedup_text", "sentence_dedup_keep")
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    return similarity.cosine_topk(emb, queries_df, k=5)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    return similarity.ann_topk(emb, queries_df, k=5)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gopher_quality": (_q_gopher_quality, gopher_quality.oracle_sql()),
@@ -213,6 +268,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "exact_dedup": (_q_exact_dedup, exact_dedup.oracle_sql()),
     "url_dedup": (_q_url_dedup, _oracle_url_dedup()),
     "pii_scrub": (_q_pii_scrub, pii.oracle_sql(text_expr=_PII_TEXT_SQL)),
+    "minhash_signatures": (_q_minhash_signatures, minhash.oracle_sql_signatures()),
+    "minhash_pairs": (_q_minhash_pairs, minhash.oracle_sql_pairs()),
+    "minhash_dedup": (_q_minhash_dedup, minhash.oracle_sql_dedup()),
+    "simhash_fingerprints": (_q_simhash_fingerprints, simhash.oracle_sql_fingerprints()),
+    "simhash_dedup": (_q_simhash_dedup, simhash.oracle_sql_dedup()),
+    "decont": (_q_decont, decont.oracle_sql()),
+    "cosine_topk": (_q_cosine_topk, similarity.oracle_sql_cosine_topk()),
+    "ann_topk": (_q_ann_topk, similarity.oracle_sql_ann_topk()),
+    "embedding_neardup": (_q_embedding_neardup, similarity.oracle_sql_neardup_pairs(threshold=0.45)),
+    "sentence_dedup": (_q_sentence_dedup, sentence_dedup.oracle_sql()),
 }
 
 

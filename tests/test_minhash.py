@@ -1,0 +1,94 @@
+"""MinHash dedup: similarity sanity, clustering transitivity, Spark vs
+DuckDB-recursive-oracle parity on a crafted near-dup corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatrove_spark.operators import minhash
+from tests.conftest import duck_connect
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls softly "
+    "on the quiet village and the people walk slowly to the old market square "
+    "carrying baskets of bread and fruit for the long day ahead of them all"
+)
+
+DOCS = [
+    (0, BASE),
+    (1, BASE + " with one tiny extra clause added at the end"),          # near-dup of 0
+    (2, BASE.replace("quick", "swift").replace("lazy", "sleepy")),        # near-dup of 0
+    (3, "completely different text about spark query engines and the joy of distributed joins "
+        "across many machines in a large cluster running day and night without pause or rest"),
+    (4, "short doc"),                                                     # no shingles
+    (5, BASE),                                                            # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_signatures_shape_and_determinism(spark, corpus):
+    sigs = minhash.signatures(corpus)
+    rows = sigs.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.bucket_id] = r.sig
+    assert 4 not in by_doc  # too short -> no signature
+    assert all(len(v) == 14 for v in by_doc.values())
+    assert by_doc[0] == by_doc[5]  # identical text -> identical sigs
+
+
+def test_pairs_find_near_dups(spark, corpus):
+    ps = {(r.a, r.b) for r in minhash.pairs(corpus).collect()}
+    assert (0, 5) in ps  # exact dup always collides
+    assert (0, 1) in ps or (1, 5) in ps  # near-dup shares >=1 bucket
+    assert all(a < b for a, b in ps)
+    assert not any(3 in p or 4 in p for p in ps)
+
+
+def test_apply_keeps_component_min(spark, corpus):
+    out = {r.doc_id: (r.minhash_keep, r.dup_of) for r in minhash.apply(corpus).collect()}
+    assert out[0] == (True, None)
+    assert out[5] == (False, 0)
+    assert out[3] == (True, None)
+    assert out[4] == (True, None)
+    # docs 1/2 cluster with 0 if they collided; either way dup_of is 0 or kept
+    for d in (1, 2):
+        keep, dup = out[d]
+        assert keep == (dup is None)
+        if dup is not None:
+            assert dup == 0
+
+
+def test_connected_components_transitive(spark):
+    # chain 3-7, 5-7: component {3,5,7} -> rep 3 for all
+    edges = spark.createDataFrame([(3, 7), (5, 7)], "a long, b long")
+    comp = {r.node: r.rep for r in minhash.connected_components(edges).collect()}
+    assert comp == {3: 3, 5: 3, 7: 3}
+
+
+def test_oracle_parity_on_crafted(spark, corpus, tmp_path):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in DOCS:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+
+    s_sigs = sorted(tuple(r) for r in minhash.signatures(corpus).collect())
+    d_sigs = sorted(tuple(r) for r in con.execute(minhash.oracle_sql_signatures()).fetchall())
+    assert s_sigs == d_sigs
+
+    s_pairs = sorted(tuple(r) for r in minhash.pairs(corpus).collect())
+    d_pairs = sorted(tuple(r) for r in con.execute(minhash.oracle_sql_pairs()).fetchall())
+    assert s_pairs == d_pairs
+
+    s_dedup = sorted(
+        tuple(r) for r in minhash.apply(corpus).select("doc_id", "dup_of", "minhash_keep").collect()
+    )
+    d_dedup = sorted(tuple(r) for r in con.execute(minhash.oracle_sql_dedup()).fetchall())
+    assert s_dedup == d_dedup
