@@ -61,6 +61,44 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def canonical_stages(with_url_filter: bool = True) -> list[Stage]:
+    """The FineWeb-order curation flow (examples/fineweb.py:34-63 analog):
+    cheap URL rules first, then language ID, then the fused quality battery
+    (rewrites text), then PII scrub (rewrites text). Predicate ordering is
+    ours to choose — Catalyst won't reorder opaque UDF stages (SURVEY §4)."""
+    from datatrove_spark.operators import langid, pii, quality_fused
+
+    def quality(df: DataFrame) -> DataFrame:
+        out = quality_fused.apply(df)
+        return (
+            out.withColumnRenamed("drop_reason", "quality_battery_reason")
+            .withColumn("text", F.col("final_text"))
+            .drop("final_text", "keep")
+        )
+
+    def scrub(df: DataFrame) -> DataFrame:
+        return pii.apply(df).withColumn("text", F.col("pii_text")).drop("pii_text")
+
+    stages = []
+    if with_url_filter:
+        from datatrove_spark.config import DEFAULT_CONFIG
+
+        stages.append(Stage("url_filter", lambda df: _url_filter_stage(df)))
+    stages += [
+        Stage("langid", langid.apply),
+        Stage("quality_battery", quality),
+        Stage("pii", scrub),
+    ]
+    return stages
+
+
+def _url_filter_stage(df: DataFrame) -> DataFrame:
+    from datatrove_spark.config import DEFAULT_CONFIG
+    from datatrove_spark.operators import url_filter
+
+    return url_filter.apply(df, cfg=DEFAULT_CONFIG.url_filter)
+
+
 def run_pipeline(
     spark: SparkSession,
     df: DataFrame,

@@ -1,13 +1,14 @@
-"""Pure-Python, single-document implementation of the engine's filter
-semantics — the pytest parity oracle.
+"""Pure-Python, single-document kernels of the engine's filter semantics.
 
 These functions re-derive the *decision rules* of the reference filters
 (datatrove, see per-function provenance) under this engine's portable text
-semantics (config.py TOKENIZER NOTE). The Spark operators and the DuckDB
-oracle SQL must agree with these functions exactly, row for row; tests
-enforce it on synthetic corpora that exercise every drop reason.
+semantics (config.py TOKENIZER NOTE). They serve double duty:
 
-NOT imported by any Spark execution path — test/labeling use only.
+1. pytest parity oracle — the Spark operators and the DuckDB oracle SQL
+   must agree with these functions exactly, row for row;
+2. executor-side kernels for the Arrow-batched UDF paths
+   (operators/gopher_repetition.py, operators/quality_fused.py) — one
+   Python implementation, three mutually-checking execution forms.
 """
 
 from __future__ import annotations

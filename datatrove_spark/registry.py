@@ -20,22 +20,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datatrove_spark.config import URLFilterConfig
 from datatrove_spark.operators import (
     c4_quality,
     decont,
     exact_dedup,
+    extract,
     fineweb_quality,
     gopher_quality,
     gopher_repetition,
+    host_stats,
     langid,
     minhash,
     pii,
+    quality_fused,
     sentence_dedup,
     simhash,
     similarity,
     token_stats,
     unigram_logprob,
     url_dedup,
+    url_filter,
 )
 
 TABLES = (
@@ -77,10 +82,16 @@ def _q_fineweb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_pipeline(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """FineWeb-order heuristic battery (SURVEY.md §7.1 step 4) as one lazy
-    plan: gopher_repetition -> gopher_quality -> c4 (with rewrite) ->
-    fineweb, short-circuiting reasons in stage order; `text` holds the C4
-    rewritten text for kept docs."""
+    """FineWeb-order heuristic battery — fused Arrow-kernel hot path
+    (operators/quality_fused.py; ~7x the composed-native plan). Returns the
+    input plus drop_reason / final_text / keep."""
+    return quality_fused.apply(df, text_col)
+
+
+def quality_pipeline_native(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The same battery as a composed declarative plan (per-stage reason
+    columns retained): gopher_repetition -> gopher_quality -> c4 (with
+    rewrite) -> fineweb; `text` holds the C4 rewritten text."""
     df = gopher_repetition.apply(df, text_col)
     df = gopher_quality.apply(df, text_col)
     df = c4_quality.apply(df, text_col)
@@ -98,15 +109,28 @@ def quality_pipeline(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = quality_pipeline(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "keep", "drop_reason", "final_text")
+
+
+def _q_quality_pipeline_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = quality_pipeline_native(load(spark, sf_dir, "documents"))
     return df.select("doc_id", "keep", "drop_reason", F.col("text").alias("final_text"))
 
 
-def _oracle_quality_pipeline() -> str:
+def _oracle_quality_pipeline(fused: bool) -> str:
     # chain the per-operator oracles through CTEs; c4 rewrite feeds fineweb
     gq = gopher_quality.oracle_sql()
     gr = gopher_repetition.oracle_sql()
     c4 = c4_quality.oracle_sql()
     fw = fineweb_quality.oracle_sql(table="c4_rewritten", text_col="text")
+    # fused path short-circuits: c4's rewrite only happens when the gopher
+    # stages passed; the composed-native plan rewrites unconditionally.
+    final_text = (
+        """CASE WHEN gr.gopher_repetition_reason IS NULL AND gq.gopher_quality_reason IS NULL
+        THEN c4.c4_quality_text ELSE d.text END"""
+        if fused
+        else "c4.c4_quality_text"
+    )
     return f"""
 WITH gq AS ({gq}), gr AS ({gr}), c4 AS ({c4}),
 c4_rewritten AS (
@@ -118,7 +142,7 @@ SELECT d.doc_id,
            c4.c4_quality_reason, fw.fineweb_quality_reason) AS drop_reason,
   (coalesce(gr.gopher_repetition_reason, gq.gopher_quality_reason,
             c4.c4_quality_reason, fw.fineweb_quality_reason) IS NULL) AS keep,
-  c4.c4_quality_text AS final_text
+  {final_text} AS final_text
 FROM documents d
 JOIN gq USING (doc_id) JOIN gr USING (doc_id)
 JOIN c4 USING (doc_id) JOIN fw USING (doc_id)
@@ -232,6 +256,75 @@ def _q_decont(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decont.apply(corpus, index).select("doc_id", "decont_keep")
 
 
+# html synthesized from documents text in both engines -> extraction parity
+def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head>"
+                  "<body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit(" &amp; more</p><!-- hidden --></body></html>"),
+        ),
+    )
+    return extract.apply(df).select("doc_id", "text")
+
+
+_HTML_SQL = (
+    "'<html><head><style>p{color:red}</style><script>var x=1;</script></head>"
+    "<body><h1>Doc ' || doc_id || '</h1><p>' || text || "
+    "' &amp; more</p><!-- hidden --></body></html>'"
+)
+
+_URLF_CFG = URLFilterConfig(
+    blocked_domains=("bad.com",),
+    blocked_urls=("src0.example.com/block/this",),
+    banned_words=("casino",),
+    soft_banned_words=("poker", "bet"),
+    banned_subwords=("xxx",),
+)
+
+
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.pmod(F.col("doc_id"), F.lit(11))
+    path = (
+        F.when(m == 0, "casino")
+        .when(m == 1, "poker/bet-now")
+        .when(m == 2, "hot-xxx-page")
+        .when(m == 3, "block/this")
+        .otherwise("article")
+    )
+    host_suffix = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, ".bad.com").otherwise(".example.com")
+    df = load(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(F.lit("https://www."), F.col("source"), host_suffix, F.lit("/"), path),
+    )
+    df = url_filter.apply(df, cfg=_URLF_CFG)
+    return df.select("doc_id", "url", "url_filter_reason", "url_filter_keep")
+
+
+_URLF_URL_SQL = (
+    "'https://www.' || source || (CASE WHEN doc_id % 5 = 0 THEN '.bad.com' ELSE '.example.com' END) "
+    "|| '/' || (CASE doc_id % 11 WHEN 0 THEN 'casino' WHEN 1 THEN 'poker/bet-now' "
+    "WHEN 2 THEN 'hot-xxx-page' WHEN 3 THEN 'block/this' ELSE 'article' END)"
+)
+
+
+def _oracle_url_filter() -> str:
+    inner = url_filter.oracle_sql("u", "url", cfg=_URLF_CFG)
+    return f"""
+WITH u AS (SELECT doc_id, {_URLF_URL_SQL} AS url FROM documents)
+SELECT u.doc_id, u.url, f.url_filter_reason, f.url_filter_keep
+FROM u JOIN ({inner}) f USING (doc_id)
+""".strip()
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").withColumn("url", _URL_SPARK())
+    return host_stats.apply(df)
+
+
 def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = sentence_dedup.apply(load(spark, sf_dir, "documents"))
     return df.select("doc_id", "sentence_dedup_text", "sentence_dedup_keep")
@@ -259,7 +352,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_repetition": (_q_gopher_repetition, gopher_repetition.oracle_sql()),
     "c4_quality": (_q_c4_quality, c4_quality.oracle_sql()),
     "fineweb_quality": (_q_fineweb_quality, fineweb_quality.oracle_sql()),
-    "quality_pipeline": (_q_quality_pipeline, _oracle_quality_pipeline()),
+    "quality_pipeline": (_q_quality_pipeline, _oracle_quality_pipeline(fused=True)),
+    "quality_pipeline_native": (_q_quality_pipeline_native, _oracle_quality_pipeline(fused=False)),
     "langid": (_q_langid, langid.oracle_sql()),
     "unigram_logprob": (_q_unigram_logprob, unigram_logprob.oracle_sql()),
     "token_count": (_q_token_count, token_stats.oracle_sql_doc_tokens()),
@@ -278,6 +372,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk": (_q_ann_topk, similarity.oracle_sql_ann_topk()),
     "embedding_neardup": (_q_embedding_neardup, similarity.oracle_sql_neardup_pairs(threshold=0.45)),
     "sentence_dedup": (_q_sentence_dedup, sentence_dedup.oracle_sql()),
+    "extract_html": (_q_extract_html, extract.oracle_sql("documents", _HTML_SQL)),
+    "url_filter": (_q_url_filter, _oracle_url_filter()),
+    "host_stats": (
+        _q_host_stats,
+        f"WITH u AS (SELECT *, {_URL_SQL} AS url FROM documents)\n"
+        + host_stats.oracle_sql("u", "url"),
+    ),
 }
 
 
