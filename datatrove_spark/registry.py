@@ -27,6 +27,7 @@ from datatrove_spark.operators import (
     exact_dedup,
     extract,
     fineweb_quality,
+    formatters,
     gopher_quality,
     gopher_repetition,
     host_stats,
@@ -34,6 +35,7 @@ from datatrove_spark.operators import (
     minhash,
     pii,
     quality_fused,
+    sampling,
     sentence_dedup,
     simhash,
     similarity,
@@ -320,6 +322,30 @@ FROM u JOIN ({inner}) f USING (doc_id)
 """.strip()
 
 
+def _q_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sampling.deterministic_sample(load(spark, sf_dir, "documents"), 0.3, "doc_id", salt="s1")
+    return df.select("doc_id")
+
+
+def _q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sampling.regex_filter(load(spark, sf_dir, "documents"), r"lineitem|window")
+    return df.select("doc_id")
+
+
+def _q_symbol_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit("\n***\n=-=-=\n\nthe tail line stays here.\n!!!")),
+    )
+    return formatters.apply(df).select("doc_id", "symbol_lines_text")
+
+
+_SYMLINES_TEXT_SQL = (
+    "text || chr(10) || '***' || chr(10) || '=-=-=' || chr(10) || chr(10) || "
+    "'the tail line stays here.' || chr(10) || '!!!'"
+)
+
+
 def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "documents").withColumn("url", _URL_SPARK())
     return host_stats.apply(df)
@@ -374,6 +400,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sentence_dedup": (_q_sentence_dedup, sentence_dedup.oracle_sql()),
     "extract_html": (_q_extract_html, extract.oracle_sql("documents", _HTML_SQL)),
     "url_filter": (_q_url_filter, _oracle_url_filter()),
+    "sampler": (_q_sampler, "SELECT doc_id FROM (" + sampling.oracle_sql_sample("documents", 0.3, "doc_id", salt="s1") + ")"),
+    "regex_filter": (_q_regex_filter, "SELECT doc_id FROM documents WHERE NOT regexp_matches(text, 'lineitem|window')"),
+    "symbol_lines": (
+        _q_symbol_lines,
+        formatters.oracle_sql("(SELECT doc_id, " + _SYMLINES_TEXT_SQL + " AS text FROM documents)"),
+    ),
     "host_stats": (
         _q_host_stats,
         f"WITH u AS (SELECT *, {_URL_SQL} AS url FROM documents)\n"
