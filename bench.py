@@ -30,9 +30,13 @@ from datatrove_spark import get_spark  # noqa: E402
 
 
 def time_query(fn, spark, sf_dir) -> tuple[float, int]:
+    """Times plan construction + FULL evaluation of every output column via
+    a noop sink (count() alone lets Spark skip unprojected work)."""
     t0 = time.perf_counter()
-    n = fn(spark, sf_dir).count()  # count() runs the whole plan incl. UDFs
-    return time.perf_counter() - t0, n
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return dt, df.count()
 
 
 def pages_path(spark, n_docs: int) -> str:

@@ -44,6 +44,44 @@ def sql_hash60(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+MERSENNE_31 = (1 << 31) - 1
+
+
+def py_hash32(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def hash32(c: Column) -> Column:
+    """Spark column: portable 32-bit hash (first 8 md5 hex digits)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def sql_hash32(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def perm31_coeffs(k: int) -> tuple[int, int]:
+    """(a, b) for the 31-bit universal-hash family: a in [1, M31), b in
+    [0, M31). With inputs reduced mod M31, a*h + b < 2^62 fits a signed
+    int64 in every engine — pure long arithmetic, no decimal/hugeint.
+    (The reference ships both 32- and 64-bit hash configs,
+    tests/utils.py:9-31; this is the 32-bit family.)"""
+    a = py_hash60(f"minhash31_a_{k}") % (MERSENNE_31 - 1) + 1
+    b = py_hash60(f"minhash31_b_{k}") % MERSENNE_31
+    return a, b
+
+
+def perm31_hash(h: Column, k: int) -> Column:
+    """Spark: (a_k * (h mod M31) + b_k) mod M31 — all int64 ops."""
+    a, b = perm31_coeffs(k)
+    return (F.pmod(h, F.lit(MERSENNE_31)) * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31)
+
+
+def sql_perm31_hash(h_expr: str, k: int) -> str:
+    a, b = perm31_coeffs(k)
+    return f"((({h_expr}) % {MERSENNE_31}) * {a} + {b}) % {MERSENNE_31}"
+
+
 def perm_coeffs(k: int) -> tuple[int, int]:
     """Deterministic (a, b) for permutation k: a in [1, M61), b in [0, M61)."""
     a = py_hash60(f"minhash_a_{k}") % (MERSENNE_61 - 1) + 1

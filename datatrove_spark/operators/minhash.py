@@ -37,12 +37,20 @@ tests/test_registry_parity via the registry entry).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datatrove_spark.config import MERSENNE_61, MinHashConfig
+from datatrove_spark.config import MinHashConfig
 from datatrove_spark.functions import text as T
-from datatrove_spark.functions.hashing import hash60, perm_coeffs, sql_hash60, sql_perm_hash
+from datatrove_spark.functions.hashing import (
+    MERSENNE_31,
+    hash60,
+    perm31_coeffs,
+    py_hash60,
+    sql_hash60,
+    sql_perm31_hash,
+)
 
 NAME = "minhash"
 
@@ -53,45 +61,124 @@ def _shingle_hashes(text_col: Column, cfg: MinHashConfig) -> Column:
     return F.transform(shingles, lambda s: hash60(s))
 
 
-def _perm_min(hashes: Column, k: int) -> Column:
-    a, b = perm_coeffs(k)
-    m61 = F.lit(MERSENNE_61).cast("decimal(38,0)")
-    return F.array_min(
-        F.transform(
-            hashes,
-            lambda h: (
-                (h.cast("decimal(38,0)") * F.lit(a).cast("decimal(38,0)")
-                 + F.lit(b).cast("decimal(38,0)")) % m61
-            ).cast("long"),
-        )
+def _bucket_sigs(hashes: Column, cfg: MinHashConfig) -> Column:
+    """array<struct(bucket_id, sig)> in ONE fold over the shingle hashes:
+    acc[k] = min over shingles of (h%M31 * a_k + b_k) % M31, then the
+    `finish` lambda folds each bucket's minima into a 60-bit signature.
+
+    31-bit universal-hash family — everything stays in int64 whole-stage
+    codegen long math (the reference ships 32-bit hash configs too,
+    tests/utils.py:9-31). The single-expression shape matters: naive
+    per-perm `array_min(transform(...))` columns each re-inline the whole
+    md5-shingle pipeline after CollapseProject, because fresh lambda
+    variable IDs defeat Catalyst's common-subexpression elimination —
+    measured 20 s vs 3 s on 5k docs. Inside aggregate(), `acc`/`mins` are
+    BOUND lambda variables, evaluated exactly once per row by construction.
+    """
+    n = cfg.num_buckets * cfg.hashes_per_bucket
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(perm31_coeffs(k)[0]).alias("a"), F.lit(perm31_coeffs(k)[1]).alias("b"))
+            for k in range(n)
+        ]
     )
+    init = F.array_repeat(F.lit(MERSENNE_31).cast("long"), n)
+
+    def finish(mins: Column) -> Column:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("bucket_id"),
+                    hash60(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(mins, b * cfg.hashes_per_bucket + i + 1).cast("string")
+                                for i in range(cfg.hashes_per_bucket)
+                            ],
+                        )
+                    ).alias("sig"),
+                )
+                for b in range(cfg.num_buckets)
+            ]
+        )
+        # permuted values are always < M31, so an untouched accumulator
+        # (still == M31) means the doc had no shingles -> no signatures.
+        # Checking here (mins is a bound variable) avoids a separate
+        # size(hs)>0 filter that would re-evaluate the shingle pipeline.
+        empty = F.array().cast("array<struct<bucket_id:int,sig:bigint>>")
+        return F.when(F.element_at(mins, 1) == MERSENNE_31, empty).otherwise(sigs)
+
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            coeffs,
+            lambda m, ab: F.least(m, (F.pmod(h, F.lit(MERSENNE_31)) * ab["a"] + ab["b"]) % MERSENNE_31),
+        ),
+        finish,
+    )
+
+
+def signatures_native(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: MinHashConfig = MinHashConfig()
+) -> DataFrame:
+    """Declarative-expression variant of ``signatures`` (same values).
+    Kept as executable documentation + parity cross-check: Spark's
+    higher-order functions are CodegenFallback (interpreted, per-element
+    object churn), measured ~6x slower than the numpy kernel below."""
+    d = df.select(id_col, _bucket_sigs(_shingle_hashes(F.col(text_col), cfg), cfg).alias("bss"))
+    return d.select(id_col, F.explode("bss").alias("bs")).select(
+        id_col, F.col("bs.bucket_id").alias("bucket_id"), F.col("bs.sig").alias("sig")
+    )
+
+
+def py_bucket_sigs(text: str, cfg: MinHashConfig = MinHashConfig()) -> list[tuple[int, int]]:
+    """Pure-Python/numpy per-doc kernel — identical values to the
+    expression path (shared h60/perm31 definitions)."""
+    import numpy as np
+
+    from datatrove_spark.reference_impl.filters import simplify_text
+
+    ws = simplify_text(text).split()
+    n = cfg.n_grams
+    if len(ws) < n:
+        return []
+    shingles = list(dict.fromkeys(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)))
+    hs = np.fromiter((py_hash60(g) for g in shingles), dtype=np.int64, count=len(shingles))
+    hm = hs % MERSENNE_31
+    k = cfg.num_buckets * cfg.hashes_per_bucket
+    ab = np.array([perm31_coeffs(i) for i in range(k)], dtype=np.int64)
+    # (k, n_shingles) permuted matrix: values < 2^62, exact in int64
+    mins = ((ab[:, :1] * hm[None, :] + ab[:, 1:]) % MERSENNE_31).min(axis=1)
+    out = []
+    for b in range(cfg.num_buckets):
+        blk = mins[b * cfg.hashes_per_bucket : (b + 1) * cfg.hashes_per_bucket]
+        out.append((b, py_hash60(",".join(str(int(m)) for m in blk))))
+    return out
 
 
 def signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: MinHashConfig = MinHashConfig()
 ) -> DataFrame:
-    """(id, bucket_id, sig): one 60-bit signature per bucket per doc."""
-    d = df.select(id_col, _shingle_hashes(F.col(text_col), cfg).alias("hs")).filter(
-        F.size("hs") > 0
+    """(id, bucket_id, sig): one 60-bit signature per bucket per doc —
+    Arrow-batched numpy kernel (the reference also vectorizes signature
+    math with numpy, minhash.py:172-179). Shingle-less docs emit no rows."""
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    schema = ArrayType(
+        StructType([StructField("bucket_id", IntegerType()), StructField("sig", LongType())])
     )
-    bucket_sigs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("bucket_id"),
-                hash60(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            _perm_min(F.col("hs"), b * cfg.hashes_per_bucket + i).cast("string")
-                            for i in range(cfg.hashes_per_bucket)
-                        ],
-                    )
-                ).alias("sig"),
-            )
-            for b in range(cfg.num_buckets)
-        ]
-    )
-    return d.select(id_col, F.explode(bucket_sigs).alias("bs")).select(
+
+    @F.pandas_udf(schema)
+    def bucket_sigs(texts: pd.Series) -> pd.Series:
+        from datatrove_spark.operators.minhash import py_bucket_sigs
+
+        return texts.map(lambda t: py_bucket_sigs(t, cfg))
+
+    d = df.select(id_col, F.explode(bucket_sigs(F.col(text_col))).alias("bs"))
+    return d.select(
         id_col, F.col("bs.bucket_id").alias("bucket_id"), F.col("bs.sig").alias("sig")
     )
 
@@ -108,11 +195,52 @@ def pairs(
     return edges.distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """(node, rep): min reachable id per component, via min-label
-    propagation to a fixed point. Edge list is assumed small relative to the
-    corpus (only docs sharing a signature); each round is one shuffle of the
-    label table, checkpoint-free because the lineage is short."""
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 5_000_000
+) -> DataFrame:
+    """(node, rep): min reachable id per component.
+
+    Two physical strategies behind one contract (identical output):
+    - |edges| <= driver_threshold: collect to the driver and run union-find
+      with path compression. Dup-pair edge sets are tiny relative to the
+      corpus (only colliding docs appear), so this is the common case; it
+      replaces ~20 iterative Spark jobs with one collect. This is the
+      reference's single-task union-find (minhash.py:444-485) done right:
+      only EDGES centralize, never documents.
+    - larger: distributed min-label propagation to a fixed point; each
+      round is one shuffle of the label table, localCheckpoint keeps the
+      lineage short. The 25 GB/30 h cliff case (examples/fineweb.py:146-151)
+      lands here with bounded memory.
+    """
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges.select("a", "b").toLocalIterator():
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller id -> representative is the component min
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        if not rows:
+            return spark.createDataFrame([], "node long, rep long")
+        return spark.createDataFrame(rows, "node long, rep long")
     sym = edges.selectExpr("a AS x", "b AS y").union(edges.selectExpr("b AS x", "a AS y"))
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -183,7 +311,7 @@ def oracle_sql_signatures(
     bucket_rows = []
     for b in range(cfg.num_buckets):
         minima = " || ',' || ".join(
-            f"(list_min(list_transform(hs, h -> {sql_perm_hash('h', b * cfg.hashes_per_bucket + i)})))::VARCHAR"
+            f"(list_min(list_transform(hs, h -> {sql_perm31_hash('h', b * cfg.hashes_per_bucket + i)})))::VARCHAR"
             for i in range(cfg.hashes_per_bucket)
         )
         bucket_rows.append(f"SELECT id AS {id_col}, {b} AS bucket_id, {sql_hash60(f'({minima})')} AS sig FROM hashed")

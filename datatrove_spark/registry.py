@@ -60,7 +60,14 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Read a testdata table, re-spread across the cluster. The sf parquet
+    files are single small files -> one input split -> every downstream
+    CPU-heavy operator would run on ONE core; an explicit repartition costs
+    a few MB of shuffle and buys full parallelism. (On real multi-TB inputs
+    split planning already yields thousands of partitions and this exchange
+    coalesces away under AQE.)"""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,12 @@ def test_signatures_shape_and_determinism(spark, corpus):
     assert by_doc[0] == by_doc[5]  # identical text -> identical sigs
 
 
+def test_kernel_matches_native_expressions(spark, corpus):
+    a = sorted(tuple(r) for r in minhash.signatures(corpus).collect())
+    b = sorted(tuple(r) for r in minhash.signatures_native(corpus).collect())
+    assert a == b
+
+
 def test_pairs_find_near_dups(spark, corpus):
     ps = {(r.a, r.b) for r in minhash.pairs(corpus).collect()}
     assert (0, 5) in ps  # exact dup always collides
