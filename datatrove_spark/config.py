@@ -107,6 +107,36 @@ class C4QualityConfig:
 
 
 @dataclass(frozen=True)
+class C4ParagraphConfig:  # c4_filters.py:149-151
+    min_paragraphs: int = 3
+    min_paragraph_len: int = 200
+
+
+# Built-in stand-in for the LDNOOBW lists the reference downloads at runtime
+# (c4_filters.py:171-205, 241-246): adult/spam terms per language; ja/th/zh
+# entries are matched without word boundaries. Replace with the real lists
+# via C4BadWordsConfig(badwords=...) when asset download is available.
+DEFAULT_BADWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("porn", "xxx", "viagra", "erotic", "escort service", "sex cam"),
+    "de": ("porno", "sexkontakte"),
+    "fr": ("porno", "sexe gratuit"),
+    "es": ("porno", "sexo gratis"),
+    "ja": ("エロ動画",),
+    "zh": ("色情",),
+}
+
+
+@dataclass(frozen=True)
+class C4BadWordsConfig:  # c4_filters.py:222-236
+    keep_fraction: float = 0.0
+    default_language: str = "en"
+    seed_salt: str = "badwords"
+    badwords: dict[str, tuple[str, ...]] = field(
+        default_factory=lambda: dict(DEFAULT_BADWORDS)
+    )
+
+
+@dataclass(frozen=True)
 class FineWebQualityConfig:
     line_punct_thr: float = 0.12
     line_punct_exclude_zero: bool = False

@@ -1,0 +1,131 @@
+"""C4 badwords filter — per-language blocklist regex, native Spark.
+
+Reference: C4BadWordsFilter (src/datatrove/pipeline/filters/c4_filters.py:
+208-281). Semantics per document:
+  - pick the badwords regex for doc's language (metadata "language",
+    default_language fallback, :269-270);
+  - no list for that language -> keep, counted "missing_badwords_lang" (:272-274);
+  - regex searches the LOWERCASED text (:275); word-bounded alternation for
+    most languages, bare alternation (no boundaries) for ja/th/zh (:258-264);
+  - a match drops the doc ("document_removed_with_badwords", :281) unless a
+    keep_fraction coin-flip passes (:277-279).
+
+Engine deviations (both documented contracts, not bugs):
+  - The reference downloads the LDNOOBW lists at runtime (c4_filters.py:
+    241-246); this engine has no network, so lists are injected via config —
+    the default is a small built-in adult/spam-term list per language. Any
+    word list (including the real LDNOOBW files) can be passed in.
+  - keep_fraction uses `default_rng().uniform` in the reference — the kept
+    set depends on sharding. Here it is deterministic on data:
+    h60(salt|doc_id) mod 1e6 < keep_fraction*1e6 (same marginal rate,
+    partition-independent, SQL-expressible; same policy as sampling.py).
+
+The regex is built only from `(^|[^a-z0-9])(...)([^a-z0-9]|$)` + literal
+alternation so Java (rlike), RE2 (DuckDB) and Python `re` agree exactly —
+no \\W, whose unicode semantics differ per engine (SURVEY §7.3.4).
+
+At scale this is a pure narrow map: per-language patterns are folded into a
+`CASE WHEN lang=...` chain (all JVM codegen, no Python, no shuffle, no
+per-row pattern compile — `rlike` against a literal pattern is compiled once
+per task).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datatrove_spark.config import C4BadWordsConfig
+from datatrove_spark.functions.hashing import hash60, sql_hash60
+from datatrove_spark.operators.sampling import SAMPLE_M
+
+NAME = "c4_badwords"
+
+
+def _pattern(lang: str, words: tuple[str, ...]) -> str:
+    alts = "|".join(re.escape(w.lower()) for w in words)
+    # ja/th/zh: no word separations in the reference (c4_filters.py:258-261)
+    if lang in ("ja", "th", "zh"):
+        return f"({alts})"
+    return f"(^|[^a-z0-9])({alts})([^a-z0-9]|$)"
+
+
+def columns(
+    text_col: Column,
+    lang_col: Column,
+    keep_fraction_key: Column,
+    cfg: C4BadWordsConfig = C4BadWordsConfig(),
+) -> tuple[Column, Column]:
+    """Returns (reason STRING nullable, missing_lang BOOLEAN) columns."""
+    low = F.lower(text_col)
+    lang = F.coalesce(lang_col, F.lit(cfg.default_language))
+    known = F.lit(False)
+    matched = F.lit(False)
+    for lg, ws in cfg.badwords.items():
+        is_lang = lang == lg
+        known = known | is_lang
+        matched = matched | (is_lang & low.rlike(_pattern(lg, ws)))
+    kept_by_fraction = (
+        F.pmod(hash60(F.concat(F.lit(cfg.seed_salt), keep_fraction_key.cast("string"))), F.lit(SAMPLE_M))
+        < int(cfg.keep_fraction * SAMPLE_M)
+        if cfg.keep_fraction > 0.0
+        else F.lit(False)
+    )
+    reason = F.when(known & matched & ~kept_by_fraction, "document_removed_with_badwords")
+    return reason, ~known
+
+
+def apply(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    key_col: str = "doc_id",
+    cfg: C4BadWordsConfig = C4BadWordsConfig(),
+) -> DataFrame:
+    reason, missing = columns(F.col(text_col), F.col(lang_col), F.col(key_col), cfg)
+    return (
+        df.withColumn(f"{NAME}_reason", reason)
+        .withColumn(f"{NAME}_keep", F.col(f"{NAME}_reason").isNull())
+        .withColumn(f"{NAME}_missing_lang", missing)
+    )
+
+
+def oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cfg: C4BadWordsConfig = C4BadWordsConfig(),
+) -> str:
+    langs = ", ".join(f"'{lg}'" for lg in cfg.badwords)
+    match_cases = "\n      ".join(
+        f"WHEN lg = '{lg}' THEN regexp_matches(low, '{_pattern(lg, ws)}')"
+        for lg, ws in cfg.badwords.items()
+    )
+    if cfg.keep_fraction > 0.0:
+        h = sql_hash60(f"'{cfg.seed_salt}' || (id)::VARCHAR")
+        kept_frac = f"({h} % {SAMPLE_M} < {int(cfg.keep_fraction * SAMPLE_M)})"
+    else:
+        kept_frac = "FALSE"
+    return f"""
+WITH b AS (
+  SELECT {id_col} AS id, lower({text_col}) AS low,
+         coalesce({lang_col}, '{cfg.default_language}') AS lg
+  FROM {table}
+), m AS (
+  SELECT id, (lg IN ({langs})) AS known,
+    coalesce(CASE
+      {match_cases}
+    END, FALSE) AS matched,
+    {kept_frac} AS kept_frac
+  FROM b
+)
+SELECT id AS {id_col},
+  CASE WHEN known AND matched AND NOT kept_frac
+       THEN 'document_removed_with_badwords' END AS {NAME}_reason,
+  NOT (known AND matched AND NOT kept_frac) AS {NAME}_keep,
+  NOT known AS {NAME}_missing_lang
+FROM m
+""".strip()

@@ -18,6 +18,8 @@ import re
 from collections import Counter
 
 from datatrove_spark.config import (
+    C4BadWordsConfig,
+    C4ParagraphConfig,
     C4QualityConfig,
     CITATION_RE,
     FINEWEB_STOP_CHARS,
@@ -149,7 +151,15 @@ def _dup_ngram_char_frac(ws: list[str], n: int, text_len: int) -> float:
 def gopher_repetition(
     text: str, cfg: GopherRepetitionConfig = GopherRepetitionConfig()
 ) -> str | None:
-    """Provenance: gopher_repetition_filter.py:110-142 (check order kept)."""
+    """Provenance: gopher_repetition_filter.py:110-142 (check order kept).
+
+    Implementation notes (hot path of the fused battery — profiled at 85% of
+    quality_fused): n-grams are compared as word TUPLES, not " ".joins —
+    equivalent since words match \\S+ (no spaces), so join is bijective; this
+    avoids ~m string allocations per (doc, n). The lexicographic top-gram
+    tie-break (on the joined form, matching the SQL oracle) only runs when a
+    cheap upper bound — the longest n-window's chars x top count — could
+    actually cross the threshold; for organic text that path is rare."""
     text_len = len(text)
     paras = re.split(r"\n{2,}", text.strip())
     dup_p, dup_p_chars = _find_duplicates(paras)
@@ -164,18 +174,45 @@ def gopher_repetition(
     if _ratio_gt(dup_l_chars, text_len, cfg.dup_line_char_frac):
         return "dup_line_char_frac"
     ws = words(text)
+    m = len(ws)
+    if not m or not text_len:
+        return None
+    cums = [0] * (m + 1)
+    for i, w in enumerate(ws):
+        cums[i + 1] = cums[i] + len(w)
     for n, frac in cfg.top_n_grams:
-        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
-        if not grams:
+        if m < n:
             continue
+        grams = list(zip(*(ws[j:] for j in range(n))))
         counts = Counter(grams)
         top_count = max(counts.values())
-        # deterministic tie-break: lexicographically smallest among most frequent
-        top_gram = min(g for g, c in counts.items() if c == top_count)
-        if _ratio_gt(len(top_gram) * top_count, text_len, frac):
+        max_len = max(cums[i + n] - cums[i] for i in range(m - n + 1)) + (n - 1)
+        if not _ratio_gt(max_len * top_count, text_len, frac):
+            continue  # even the longest window can't trigger
+        # deterministic tie-break: lexicographically smallest (joined form,
+        # = the SQL oracle's string ordering) among the most frequent
+        top_gram = min((g for g, c in counts.items() if c == top_count), key=" ".join)
+        i = grams.index(top_gram)
+        top_len = cums[i + n] - cums[i] + (n - 1)
+        if _ratio_gt(top_len * top_count, text_len, frac):
             return f"top_{n}_gram"
     for n, frac in cfg.dup_n_grams:
-        if text_len and _dup_ngram_char_frac(ws, n, text_len) > frac:
+        if m < n:
+            continue
+        grams = list(zip(*(ws[j:] for j in range(n))))
+        counts = Counter(grams)
+        if max(counts.values()) < 2:
+            continue
+        first: dict[tuple, int] = {}
+        covered = [False] * m
+        for i, g in enumerate(grams):
+            if counts[g] > 1:
+                if g in first:
+                    covered[i : i + n] = [True] * n
+                else:
+                    first[g] = i
+        dup_chars = sum(cums[i + 1] - cums[i] for i, c in enumerate(covered) if c)
+        if dup_chars / text_len > frac:
             return f"duplicated_{n}_n_grams"
     return None
 
@@ -250,3 +287,34 @@ def unigram_log_prob(
     if not ws:
         return 0.0
     return sum(math.log(freqs.get(w.lower(), cfg.unknown_freq)) for w in ws) / len(ws)
+
+
+def c4_paragraphs(text: str, cfg: C4ParagraphConfig = C4ParagraphConfig()) -> str | None:
+    """Provenance: c4_filters.py:153-166 (heapq.nlargest top-3 line check)."""
+    import heapq
+
+    lens = [len(line) for line in text.split("\n")]
+    if len(lens) < cfg.min_paragraphs or min(heapq.nlargest(cfg.min_paragraphs, lens)) < cfg.min_paragraph_len:
+        return f"< {cfg.min_paragraphs} paragraphs"
+    return None
+
+
+def c4_badwords(
+    text: str,
+    lang: str | None,
+    cfg: C4BadWordsConfig = C4BadWordsConfig(),
+    keep_fraction_passes: bool = False,
+) -> tuple[str | None, bool]:
+    """Returns (drop_reason or None, missing_lang). Provenance:
+    c4_filters.py:269-281; the word-bounded/bare alternation split per
+    language mirrors :258-264 (see operators/c4_badwords.py for the
+    documented list + RNG deviations)."""
+    from datatrove_spark.operators.c4_badwords import _pattern
+
+    lg = lang or cfg.default_language
+    words = cfg.badwords.get(lg)
+    if words is None:
+        return None, True
+    if re.search(_pattern(lg, words), text.lower()) and not keep_fraction_passes:
+        return "document_removed_with_badwords", False
+    return None, False

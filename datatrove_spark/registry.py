@@ -20,8 +20,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datatrove_spark.config import URLFilterConfig
+from datatrove_spark.config import C4BadWordsConfig, URLFilterConfig
 from datatrove_spark.operators import (
+    c4_badwords,
+    c4_paragraphs,
     c4_quality,
     decont,
     exact_dedup,
@@ -329,6 +331,64 @@ FROM u JOIN ({inner}) f USING (doc_id)
 """.strip()
 
 
+# badword-bearing text synthesized per-language for every 7th doc; every
+# 11th doc gets an unknown language -> exercises drop / keep_fraction /
+# missing-language branches in both engines identically.
+_BW_CFG = C4BadWordsConfig(keep_fraction=0.25)
+
+_BW_WORD_SQL = (
+    "CASE lang WHEN 'en' THEN ' cheap viagra here' WHEN 'de' THEN ' gratis porno seite' "
+    "WHEN 'fr' THEN ' porno gratuit' WHEN 'es' THEN ' porno gratis' "
+    "WHEN 'zh' THEN ' 色情内容' ELSE '' END"
+)
+
+
+def _q_c4_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    word = (
+        F.when(F.col("lang") == "en", " cheap viagra here")
+        .when(F.col("lang") == "de", " gratis porno seite")
+        .when(F.col("lang") == "fr", " porno gratuit")
+        .when(F.col("lang") == "es", " porno gratis")
+        .when(F.col("lang") == "zh", " 色情内容")
+        .otherwise("")
+    )
+    df = (
+        load(spark, sf_dir, "documents")
+        .withColumn(
+            "text",
+            F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.concat(F.col("text"), word)).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+    )
+    df = c4_badwords.apply(df, cfg=_BW_CFG)
+    return df.select(
+        "doc_id", "c4_badwords_reason", "c4_badwords_keep", "c4_badwords_missing_lang"
+    )
+
+
+def _oracle_c4_badwords() -> str:
+    inner = c4_badwords.oracle_sql(table="bw", cfg=_BW_CFG)
+    assert inner.startswith("WITH ")
+    return f"""
+WITH bw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ({_BW_WORD_SQL}) ELSE text END AS text,
+    CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang
+  FROM documents
+), {inner[len("WITH "):]}
+""".strip()
+
+
+def _q_c4_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = c4_paragraphs.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "c4_paragraphs_reason", "c4_paragraphs_keep")
+
+
 def _q_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = sampling.deterministic_sample(load(spark, sf_dir, "documents"), 0.3, "doc_id", salt="s1")
     return df.select("doc_id")
@@ -384,6 +444,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_quality": (_q_gopher_quality, gopher_quality.oracle_sql()),
     "gopher_repetition": (_q_gopher_repetition, gopher_repetition.oracle_sql()),
     "c4_quality": (_q_c4_quality, c4_quality.oracle_sql()),
+    "c4_badwords": (_q_c4_badwords, _oracle_c4_badwords()),
+    "c4_paragraphs": (_q_c4_paragraphs, c4_paragraphs.oracle_sql()),
     "fineweb_quality": (_q_fineweb_quality, fineweb_quality.oracle_sql()),
     "quality_pipeline": (_q_quality_pipeline, _oracle_quality_pipeline(fused=True)),
     "quality_pipeline_native": (_q_quality_pipeline_native, _oracle_quality_pipeline(fused=False)),

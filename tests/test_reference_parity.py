@@ -94,3 +94,36 @@ def test_drop_reasons_covered(spark, crafted):
     }
     # (stage order masks some reasons: repetition runs before gopher/c4/fineweb)
     assert len(reasons) >= 7, reasons
+
+
+def test_c4_paragraphs_matches_python(spark, crafted):
+    from datatrove_spark.operators import c4_paragraphs
+
+    got = _collect(c4_paragraphs.apply(crafted), "c4_paragraphs_reason")
+    for i, t in enumerate(DOCS):
+        assert got[i][0] == ref.c4_paragraphs(t), f"doc {i}"
+
+
+BW_DOCS = [
+    ("en", "A perfectly clean document about gardening and tea."),
+    ("en", "Buy cheap viagra here right now."),
+    ("en", "The viagrafied word is not a standalone badword."),  # subword: no match
+    ("en", "VIAGRA in caps still matches."),
+    ("de", "Hier gibt es gratis porno seiten."),
+    ("de", "viagra is not on the de list."),
+    ("zh", "这个网页包含色情内容。"),  # no word boundaries for zh
+    ("xx", "cheap viagra but unknown language keeps the doc."),
+    (None, "cheap viagra with NULL lang falls back to en and drops."),
+]
+
+
+def test_c4_badwords_matches_python(spark):
+    from datatrove_spark.operators import c4_badwords
+
+    rows = [(i, lg, t) for i, (lg, t) in enumerate(BW_DOCS)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = _collect(
+        c4_badwords.apply(df), "c4_badwords_reason", "c4_badwords_missing_lang"
+    )
+    for i, (lg, t) in enumerate(BW_DOCS):
+        assert got[i] == ref.c4_badwords(t, lg), f"doc {i}"
