@@ -212,6 +212,10 @@ def connected_components(
       lineage short. The 25 GB/30 h cliff case (examples/fineweb.py:146-151)
       lands here with bounded memory.
     """
+    # edges is the output of a non-trivial plan (UDF fingerprints + band
+    # self-join); it is consumed twice below (count + iterate/propagate), so
+    # persist it — otherwise the whole upstream recomputes per action.
+    edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         parent: dict = {}
@@ -238,6 +242,7 @@ def connected_components(
                     parent[ra] = rb
         rows = [(n, find(n)) for n in parent]
         spark = edges.sparkSession
+        edges.unpersist()
         if not rows:
             return spark.createDataFrame([], "node long, rep long")
         return spark.createDataFrame(rows, "node long, rep long")

@@ -24,6 +24,7 @@ operation sequence. Scores are rounded to 6dp only at the output boundary.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -79,6 +80,25 @@ def _bucket_code(vec: Column, table: int, n_planes: int, dim: int) -> Column:
     return code
 
 
+def py_bucket_codes(mat, n_tables: int, n_planes: int, dim: int):
+    """(B, dim) float64 batch -> (B, n_tables) int64 bucket codes.
+
+    Bit-identical to _bucket_code / the SQL oracle: the plane dot product
+    accumulates column-by-column (acc += v[:,j]*c_j), which reproduces the
+    strict left-to-right float64 fold of F.aggregate / DuckDB list_sum for
+    every row at once — vectorized across the batch, sequential across dims."""
+    import numpy as np
+
+    out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            acc = np.zeros(mat.shape[0], dtype=np.float64)
+            for j in range(dim):
+                acc += mat[:, j] * plane_coeff(t, p, j)
+            out[:, t] += (acc > 0) * (1 << p)
+    return out
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -87,19 +107,25 @@ def lsh_buckets(
     n_planes: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """(id, table_id, bucket): the write-side corpus index."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                _bucket_code(F.col(vec_col), t, n_planes, dim).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    return df.select(id_col, F.explode(buckets).alias("b")).select(
-        id_col, F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
-    )
+    """(id, table_id, bucket): the write-side corpus index. Arrow-batched
+    numpy kernel (the declarative _bucket_code path runs its 32 plane dots
+    as interpreted lambda folds — measured ~15x slower on real batches)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datatrove_spark.operators.similarity import py_bucket_codes
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = py_bucket_codes(mat, n_tables, n_planes, dim)
+        return pd.Series(list(out))
+
+    d = df.select(id_col, F.posexplode(codes(F.col(vec_col))).alias("table_id", "bucket"))
+    return d.select(id_col, F.col("table_id").cast("int").alias("table_id"), "bucket")
 
 
 def ann_topk(
