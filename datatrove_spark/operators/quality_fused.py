@@ -60,10 +60,11 @@ def make_udf(cfg: EngineConfig = EngineConfig()):
 
         reasons, outs = [], []
         for t in texts:
-            reason = rf.gopher_repetition(t, rep_cfg)
+            ws = rf.words(t)  # one tokenization shared by both gopher stages
+            reason = rf.gopher_repetition(t, rep_cfg, ws=ws)
             new_text = t
             if reason is None:
-                reason = rf.gopher_quality(t, gq_cfg)
+                reason = rf.gopher_quality(t, gq_cfg, ws=ws)
             if reason is None:
                 reason, new_text = rf.c4_quality(t, c4_cfg)
                 if reason is None:

@@ -59,10 +59,14 @@ def token_count(text: str) -> int:
     return len(_TOKEN_RE.findall(text))
 
 
-def gopher_quality(text: str, cfg: GopherQualityConfig = GopherQualityConfig()) -> str | None:
+def gopher_quality(
+    text: str, cfg: GopherQualityConfig = GopherQualityConfig(), ws: list[str] | None = None
+) -> str | None:
     """Returns the drop reason or None (keep). Provenance:
-    gopher_quality_filter.py:62-125."""
-    ws = words(text)
+    gopher_quality_filter.py:62-125. `ws` lets the fused battery share one
+    tokenization across stages."""
+    if ws is None:
+        ws = words(text)
     n_words = len(ws)
     nsw = [w for w in ws if _ALNUM_RE.search(w)]
     n_nsw = len(nsw)
@@ -149,7 +153,9 @@ def _dup_ngram_char_frac(ws: list[str], n: int, text_len: int) -> float:
 
 
 def gopher_repetition(
-    text: str, cfg: GopherRepetitionConfig = GopherRepetitionConfig()
+    text: str,
+    cfg: GopherRepetitionConfig = GopherRepetitionConfig(),
+    ws: list[str] | None = None,
 ) -> str | None:
     """Provenance: gopher_repetition_filter.py:110-142 (check order kept).
 
@@ -173,7 +179,8 @@ def gopher_repetition(
         return "dup_line_frac"
     if _ratio_gt(dup_l_chars, text_len, cfg.dup_line_char_frac):
         return "dup_line_char_frac"
-    ws = words(text)
+    if ws is None:
+        ws = words(text)
     m = len(ws)
     if not m or not text_len:
         return None
@@ -202,7 +209,9 @@ def gopher_repetition(
         grams = list(zip(*(ws[j:] for j in range(n))))
         counts = Counter(grams)
         if max(counts.values()) < 2:
-            continue
+            # a duplicated n-gram contains duplicated (n-1)-grams, so once no
+            # n-gram repeats, no larger n can repeat either (ascending order)
+            break
         first: dict[tuple, int] = {}
         covered = [False] * m
         for i, g in enumerate(grams):

@@ -1,0 +1,89 @@
+"""Physical-plan regression tests — the scale contract, asserted.
+
+Correctness tests prove the operators compute the right thing at small SF;
+these prove the PLANS keep the shape that survives a 1000-executor / 100 TB
+scale-up: no shuffle on the narrow quality path, broadcast (not shuffle) for
+small-side joins, exactly one hash shuffle where one key shuffle is the
+algorithm, and column pruning reaching the parquet scan (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatrove_spark.operators import decont, exact_dedup, host_stats, url_dedup
+from datatrove_spark.registry import quality_pipeline
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from tests.conftest import SF_SMALL
+
+    # raw scan, no helper repartition: these tests assert the *operator's own*
+    # plan shape, so the input must not contribute an Exchange
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_quality_pipeline_is_shuffle_free(pages):
+    """The full fused battery is one narrow stage: scan -> Arrow UDF ->
+    project/filter. Any Exchange here would shuffle the whole corpus."""
+    plan = plan_of(quality_pipeline(pages).filter("keep"))
+    assert "Exchange" not in plan, plan
+
+
+def test_decont_broadcasts_the_index(spark, pages):
+    """The eval-set index must reach the corpus as a broadcast (semi) join —
+    a shuffle join here would repartition the full corpus by gram hash."""
+    index = decont.build_index(pages.filter("doc_id < 25"))
+    plan = plan_of(decont.apply(pages.filter("doc_id >= 25"), index), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    before, _, _ = plan.partition("BroadcastHashJoin")
+    # the corpus-side subtree (printed before the join) must not be shuffled
+    assert "Exchange hashpartitioning" not in before, plan
+
+
+def test_url_dedup_single_key_shuffle(pages):
+    """keep-best-per-url is one window over one hash partitioning of the url
+    key — exactly one Exchange, no more."""
+    df = pages.withColumn("url", F.concat(F.lit("https://h/"), F.col("doc_id") % 7))
+    plan = plan_of(url_dedup.apply(df, priority_col="n_chars"), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_exact_dedup_single_key_shuffle(pages):
+    plan = plan_of(exact_dedup.apply(pages), mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # agg partial+final pair
+
+
+def test_host_stats_partial_aggregation(pages):
+    """Skewed-host agg must map-side combine: HashAggregate appears below
+    (partial) and above (final) its Exchange."""
+    df = pages.withColumn("url", F.concat(F.lit("https://h"), F.col("doc_id") % 5, F.lit(".ex.com/p")))
+    plan = plan_of(host_stats.apply(df), mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_column_pruning_reaches_scan(pages):
+    """A 2-column projection must scan 2 columns, not 5."""
+    out = quality_pipeline(pages).select("doc_id", "keep")
+    plan = plan_of(out)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "text" in read[0] and "doc_id" in read[0], plan
+    assert "source" not in read[0] and "n_chars" not in read[0], plan
+
+
+def test_filter_pushdown_reaches_scan(pages):
+    plan = plan_of(pages.filter(F.col("doc_id") < 25).select("doc_id", "text"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "LessThan(doc_id,25)" in pushed[0], plan
