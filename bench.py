@@ -112,9 +112,21 @@ def main() -> None:
         # pairs are reported in BENCH.md.
         default_pair = f"{max(1, cpus // 8)},{max(4, cpus // 2)}"
         cores_pair = [int(x) for x in os.environ.get("BENCH_SCALING_CORES", default_pair).split(",")]
+        # scaling needs a compute-bound run (tens of seconds per level) or
+        # fixed per-job overhead pollutes the ratio — use >= 1M docs
+        scaling_pages = max(n_pages, 1_000_000)
+        s = get_spark(app_name="bench-gen", master=f"local[{cpus}]", shuffle_partitions=cpus)
+        pages_path(s, scaling_pages)
+        s.stop()
+        # equal thermal state per level: the host's turbo budget recovers
+        # during idle (measured: the 16-core level runs 30% slower straight
+        # after the full suite than after 60 s idle; the 4-core level is
+        # insensitive). Cool down before EACH level so the ratio is fair.
+        cooldown = int(os.environ.get("BENCH_COOLDOWN_S", "60"))
         perf = {}
         for c in cores_pair:
-            env = dict(os.environ, BENCH_SCALING_WORKER=str(c), BENCH_PAGES=str(n_pages))
+            time.sleep(cooldown)
+            env = dict(os.environ, BENCH_SCALING_WORKER=str(c), BENCH_PAGES=str(scaling_pages))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
             )

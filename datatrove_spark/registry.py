@@ -41,6 +41,7 @@ from datatrove_spark.operators import (
     sentence_dedup,
     simhash,
     similarity,
+    time_series,
     token_stats,
     unigram_logprob,
     url_dedup,
@@ -389,6 +390,39 @@ def _q_c4_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "c4_paragraphs_reason", "c4_paragraphs_keep")
 
 
+# model-free environment -> exercises the documented deterministic fallback
+# path (same output schema as the fastText-backed path; model loading is
+# covered by tests/test_registry_parity rows-only + unit tests)
+_FT_LABELS = ("en", "fr")
+
+
+def _q_fasttext_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datatrove_spark.operators import fasttext_filter
+
+    df = fasttext_filter.apply(load(spark, sf_dir, "documents"), keep_labels=_FT_LABELS)
+    return df.select("doc_id", "language", "fasttext_filter_reason", "fasttext_filter_keep")
+
+
+def _oracle_fasttext_filter() -> str:
+    from datatrove_spark.config import LangIdConfig
+
+    inner = langid.oracle_sql(cfg=LangIdConfig(languages=_FT_LABELS))
+    return f"""
+SELECT doc_id, language,
+  CASE WHEN NOT langid_keep THEN 'lang_filter' END AS fasttext_filter_reason,
+  langid_keep AS fasttext_filter_keep
+FROM ({inner})
+""".strip()
+
+
+def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_series.window_agg(load(spark, sf_dir, "events"))
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_series.sessionize(load(spark, sf_dir, "events"))
+
+
 def _q_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = sampling.deterministic_sample(load(spark, sf_dir, "documents"), 0.3, "doc_id", salt="s1")
     return df.select("doc_id")
@@ -450,6 +484,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_pipeline": (_q_quality_pipeline, _oracle_quality_pipeline(fused=True)),
     "quality_pipeline_native": (_q_quality_pipeline_native, _oracle_quality_pipeline(fused=False)),
     "langid": (_q_langid, langid.oracle_sql()),
+    "fasttext_filter": (_q_fasttext_filter, _oracle_fasttext_filter()),
     "unigram_logprob": (_q_unigram_logprob, unigram_logprob.oracle_sql()),
     "token_count": (_q_token_count, token_stats.oracle_sql_doc_tokens()),
     "token_stats_by_lang": (_q_token_stats_by_lang, token_stats.oracle_sql_group_stats()),
@@ -475,6 +510,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _q_symbol_lines,
         formatters.oracle_sql("(SELECT doc_id, " + _SYMLINES_TEXT_SQL + " AS text FROM documents)"),
     ),
+    "events_window_agg": (_q_events_window_agg, time_series.oracle_sql_window_agg()),
+    "events_sessions": (_q_events_sessions, time_series.oracle_sql_sessionize()),
     "host_stats": (
         _q_host_stats,
         f"WITH u AS (SELECT *, {_URL_SQL} AS url FROM documents)\n"
