@@ -38,6 +38,7 @@ from datatrove_spark.operators import (
     pii,
     quality_fused,
     sampling,
+    relational,
     sentence_dedup,
     simhash,
     similarity,
@@ -415,6 +416,23 @@ FROM ({inner})
 """.strip()
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+def _q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_revenue_orders(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {t: load(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")}
+    return relational.region_revenue(tables)
+
+
 def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_series.window_agg(load(spark, sf_dir, "events"))
 
@@ -510,6 +528,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _q_symbol_lines,
         formatters.oracle_sql("(SELECT doc_id, " + _SYMLINES_TEXT_SQL + " AS text FROM documents)"),
     ),
+    "pricing_summary": (_q_pricing_summary, relational.oracle_sql_pricing_summary()),
+    "top_revenue_orders": (_q_top_revenue_orders, relational.oracle_sql_top_revenue_orders()),
+    "region_revenue": (_q_region_revenue, relational.oracle_sql_region_revenue()),
     "events_window_agg": (_q_events_window_agg, time_series.oracle_sql_window_agg()),
     "events_sessions": (_q_events_sessions, time_series.oracle_sql_sessionize()),
     "host_stats": (

@@ -1,0 +1,129 @@
+"""Deterministic fuzz parity: Spark operators vs the pure-Python reference
+on a seeded corpus of adversarial documents (unicode mixtures, control
+chars, emoji, RTL, zero-width joiners, very long words, pathological
+whitespace). One DataFrame round-trip per operator, not per example —
+hypothesis-style coverage at Spark-friendly cost.
+
+What this guards: Java-regex vs Python-re vs RE2 dialect drift (SURVEY
+§7.3.4), float boundary flips in ratio thresholds (§7.3.7), and NULL/empty
+handling — the classes of bug the curated crafted-doc tests can miss.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatrove_spark.operators import (
+    c4_badwords,
+    c4_paragraphs,
+    c4_quality,
+    fineweb_quality,
+    gopher_quality,
+    gopher_repetition,
+)
+from datatrove_spark.reference_impl import filters as ref
+
+ALPHABETS = [
+    string.ascii_letters + "     .,!?'\"\n",
+    "的一是不了人我在有他这中大来上国 。，\n",
+    "абвгдежзиклмноп     .!?\n",
+    "ابتثجحخدذرزسشصضط     .\n",
+    "🎉🚀😀🌍🔥‍​     .\n",
+    string.printable,  # includes \t \r \x0b \x0c and digits/symbols
+    "aА𝐚ａ́éé     .\n",  # lookalikes + combining accents
+]
+
+WORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "lorem", "ipsum",
+         "javascript", "{", "•", "...", "…", "[1]", "[edit]", "wikipedia", "#"]
+
+
+def gen_docs(seed: int = 99, n: int = 150) -> list[str]:
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n):
+        mode = i % 5
+        if mode == 0:  # alphabet soup
+            ab = rng.choice(ALPHABETS)
+            docs.append("".join(rng.choice(ab) for _ in range(rng.randint(0, 400))))
+        elif mode == 1:  # word salad with trigger tokens
+            k = rng.randint(0, 120)
+            docs.append(" ".join(rng.choice(WORDS) for _ in range(k)))
+        elif mode == 2:  # repeated block (dedup/repetition triggers)
+            block = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 8)))
+            docs.append(((block + "\n") * rng.randint(1, 12)).strip())
+        elif mode == 3:  # long words / pathological whitespace
+            docs.append(
+                "\n".join(
+                    "x" * rng.randint(1, 1200) + rng.choice([" ", "\t", "  "]) + rng.choice(WORDS)
+                    for _ in range(rng.randint(1, 6))
+                )
+            )
+        else:  # sentences with unicode mixed in
+            sents = [
+                " ".join(rng.choice(WORDS) for _ in range(rng.randint(2, 9)))
+                + rng.choice([".", "!", "?", "...", ""])
+                for _ in range(rng.randint(1, 10))
+            ]
+            docs.append(rng.choice(["", "🎉 ", "é "]) + " ".join(sents))
+    docs += ["", " ", "\n", "\t\r\x0b\x0c", "​", "a", "."]
+    return docs
+
+
+@pytest.fixture(scope="module")
+def fuzz(spark):
+    docs = gen_docs()
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    return docs, df
+
+
+def _col(df, *cols):
+    return {r[0]: tuple(r[1:]) for r in df.select("doc_id", *cols).collect()}
+
+
+def test_fuzz_gopher_quality(fuzz):
+    docs, df = fuzz
+    got = _col(gopher_quality.apply(df), "gopher_quality_reason")
+    for i, t in enumerate(docs):
+        assert got[i][0] == ref.gopher_quality(t), f"doc {i}: {t[:80]!r}"
+
+
+def test_fuzz_gopher_repetition(fuzz):
+    docs, df = fuzz
+    got = _col(gopher_repetition.apply(df), "gopher_repetition_reason")
+    for i, t in enumerate(docs):
+        assert got[i][0] == ref.gopher_repetition(t), f"doc {i}: {t[:80]!r}"
+
+
+def test_fuzz_c4_quality(fuzz):
+    docs, df = fuzz
+    got = _col(c4_quality.apply(df), "c4_quality_reason", "c4_quality_text")
+    for i, t in enumerate(docs):
+        assert got[i] == ref.c4_quality(t), f"doc {i}: {t[:80]!r}"
+
+
+def test_fuzz_fineweb_quality(fuzz):
+    docs, df = fuzz
+    got = _col(fineweb_quality.apply(df), "fineweb_quality_reason")
+    for i, t in enumerate(docs):
+        assert got[i][0] == ref.fineweb_quality(t), f"doc {i}: {t[:80]!r}"
+
+
+def test_fuzz_c4_paragraphs(fuzz):
+    docs, df = fuzz
+    got = _col(c4_paragraphs.apply(df), "c4_paragraphs_reason")
+    for i, t in enumerate(docs):
+        assert got[i][0] == ref.c4_paragraphs(t), f"doc {i}: {t[:80]!r}"
+
+
+def test_fuzz_c4_badwords(fuzz):
+    docs, df = fuzz
+    langs = ["en", "de", "zh", "xx", None]
+    rows = [(i, langs[i % 5], t) for i, t in enumerate(docs)]
+    df2 = df.sparkSession.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = _col(c4_badwords.apply(df2), "c4_badwords_reason", "c4_badwords_missing_lang")
+    for i, t in enumerate(docs):
+        assert got[i] == ref.c4_badwords(t, langs[i % 5]), f"doc {i}: {t[:80]!r}"
