@@ -40,6 +40,7 @@ from datatrove_spark.operators import (
     sampling,
     relational,
     sentence_dedup,
+    tokenizer,
     simhash,
     similarity,
     time_series,
@@ -416,6 +417,11 @@ FROM ({inner})
 """.strip()
 
 
+def _q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = tokenizer.with_token_ids(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "token_ids", "n_tokens")
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(load(spark, sf_dir, "lineitem"))
 
@@ -527,6 +533,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "symbol_lines": (
         _q_symbol_lines,
         formatters.oracle_sql("(SELECT doc_id, " + _SYMLINES_TEXT_SQL + " AS text FROM documents)"),
+    ),
+    "token_ids": (
+        _q_token_ids,
+        f"SELECT doc_id, {tokenizer.sql_token_ids('text')} AS token_ids, "
+        f"len({tokenizer.sql_token_ids('text')}) AS n_tokens FROM documents",
     ),
     "pricing_summary": (_q_pricing_summary, relational.oracle_sql_pricing_summary()),
     "top_revenue_orders": (_q_top_revenue_orders, relational.oracle_sql_top_revenue_orders()),
