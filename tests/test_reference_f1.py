@@ -116,3 +116,18 @@ def test_adversarial_agreement(spark):
                 r = rf.fineweb_quality(nt)
         disagree += (r is None) != ref_keep
     assert disagree == 0
+
+
+def test_c4_paragraphs_vs_reference(spark):
+    from datatrove_spark.reference_impl import filters as rf
+    from tests.test_fuzz_parity import gen_docs
+
+    harness.install()
+    from datatrove.data import Document
+    from datatrove.pipeline.filters.c4_filters import C4ParagraphFilter
+
+    f = C4ParagraphFilter()
+    for t in gen_docs(seed=123, n=100):
+        r = f.filter(Document(text=t, id="x"))
+        ref_keep = r is True
+        assert (rf.c4_paragraphs(t) is None) == ref_keep, repr(t[:60])
