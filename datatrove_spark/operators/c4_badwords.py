@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -128,4 +129,82 @@ SELECT id AS {id_col},
   NOT (known AND matched AND NOT kept_frac) AS {NAME}_keep,
   NOT known AS {NAME}_missing_lang
 FROM m
+""".strip()
+
+
+# --- toxicity scrub (mask, not drop) -----------------------------------------
+#
+# The north rule's "PII/toxicity scrub": like pii.py, a compiled-regex batch
+# UDF that REWRITES text, masking badword occurrences with `mask`. Matching
+# contract (identical in Python re / Java / RE2, all lookaround-free):
+# case-insensitive; word-bounded languages consume one non-alnum char on
+# each side (kept via backrefs), so immediately-adjacent occurrences mask
+# left-to-right non-overlapping — the standard sub() scan in all engines.
+
+MASK = "[removed]"
+
+
+def _scrub_pattern(lang: str, words: tuple[str, ...]) -> str:
+    return "(?i)" + _pattern(lang, words)
+
+
+def py_scrub_toxicity(
+    text: str, lang: str | None, cfg: C4BadWordsConfig = C4BadWordsConfig(), mask: str = MASK
+) -> str:
+    """Per-doc kernel (shared by the batch UDF and tests)."""
+    lg = lang or cfg.default_language
+    ws = cfg.badwords.get(lg)
+    if not ws or not text:
+        return text
+    if lg in ("ja", "th", "zh"):
+        return re.sub(_scrub_pattern(lg, ws), mask, text)
+    return re.sub(_scrub_pattern(lg, ws), lambda m: f"{m.group(1)}{mask}{m.group(3)}", text)
+
+
+def apply_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cfg: C4BadWordsConfig = C4BadWordsConfig(),
+    mask: str = MASK,
+) -> DataFrame:
+    """Adds toxicity_text: the masked rewrite (compiled-regex batch UDF with
+    per-worker pattern cache, one compile per (executor, lang))."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def scrub(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        from datatrove_spark.operators.c4_badwords import py_scrub_toxicity
+
+        return pd.Series(
+            [py_scrub_toxicity(t, lg, cfg, mask) for t, lg in zip(texts, langs)]
+        )
+
+    return df.withColumn("toxicity_text", scrub(F.col(text_col), F.col(lang_col)))
+
+
+def oracle_sql_scrub(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cfg: C4BadWordsConfig = C4BadWordsConfig(),
+    mask: str = MASK,
+) -> str:
+    cases = []
+    for lg, ws in cfg.badwords.items():
+        pat = _scrub_pattern(lg, ws).replace("'", "''")
+        repl = mask if lg in ("ja", "th", "zh") else f"\\1{mask}\\3"
+        cases.append(
+            f"WHEN coalesce({lang_col}, '{cfg.default_language}') = '{lg}' "
+            f"THEN regexp_replace({text_col}, '{pat}', '{repl}', 'g')"
+        )
+    branches = "\n    ".join(cases)
+    return f"""
+SELECT {id_col},
+  CASE
+    {branches}
+    ELSE {text_col}
+  END AS toxicity_text
+FROM {table}
 """.strip()

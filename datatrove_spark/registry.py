@@ -387,6 +387,43 @@ WITH bw AS (
 """.strip()
 
 
+def _q_toxicity_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    word = (
+        F.when(F.col("lang") == "en", " buy viagra and XXX stuff ")
+        .when(F.col("lang") == "de", " nur Porno hier ")
+        .when(F.col("lang") == "fr", " du porno gratuit ")
+        .when(F.col("lang") == "es", " porno y mas porno ")
+        .when(F.col("lang") == "zh", " 含有色情内容 ")
+        .otherwise("")
+    )
+    df = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.concat(F.col("text"), word)).otherwise(
+            F.col("text")
+        ),
+    )
+    return c4_badwords.apply_scrub(df).select("doc_id", "toxicity_text")
+
+
+_TOX_WORD_SQL = (
+    "CASE lang WHEN 'en' THEN ' buy viagra and XXX stuff ' WHEN 'de' THEN ' nur Porno hier ' "
+    "WHEN 'fr' THEN ' du porno gratuit ' WHEN 'es' THEN ' porno y mas porno ' "
+    "WHEN 'zh' THEN ' 含有色情内容 ' ELSE '' END"
+)
+
+
+def _oracle_toxicity_scrub() -> str:
+    inner = c4_badwords.oracle_sql_scrub(table="tox")
+    return f"""
+WITH tox AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 3 = 0 THEN text || ({_TOX_WORD_SQL}) ELSE text END AS text
+  FROM documents
+)
+{inner}
+""".strip()
+
+
 def _q_c4_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = c4_paragraphs.apply(load(spark, sf_dir, "documents"))
     return df.select("doc_id", "c4_paragraphs_reason", "c4_paragraphs_keep")
@@ -504,6 +541,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "c4_quality": (_q_c4_quality, c4_quality.oracle_sql()),
     "c4_badwords": (_q_c4_badwords, _oracle_c4_badwords()),
     "c4_paragraphs": (_q_c4_paragraphs, c4_paragraphs.oracle_sql()),
+    "toxicity_scrub": (_q_toxicity_scrub, _oracle_toxicity_scrub()),
     "fineweb_quality": (_q_fineweb_quality, fineweb_quality.oracle_sql()),
     "quality_pipeline": (_q_quality_pipeline, _oracle_quality_pipeline(fused=True)),
     "quality_pipeline_native": (_q_quality_pipeline_native, _oracle_quality_pipeline(fused=False)),
