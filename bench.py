@@ -118,13 +118,17 @@ def main() -> None:
         s = get_spark(app_name="bench-gen", master=f"local[{cpus}]", shuffle_partitions=cpus)
         pages_path(s, scaling_pages)
         s.stop()
-        # equal thermal state per level: the host's turbo budget recovers
-        # during idle (measured: the 16-core level runs 30% slower straight
-        # after the full suite than after 60 s idle; the 4-core level is
-        # insensitive). Cool down before EACH level so the ratio is fair.
-        cooldown = int(os.environ.get("BENCH_COOLDOWN_S", "60"))
+        # Thermal ordering: the host lowers all-core turbo as the package
+        # heats, which hits the MANY-core level hard (-30% straight after a
+        # long full-load run) while the few-core level barely notices (few
+        # active cores keep high turbo even warm). Equal-state ordering is
+        # impossible by waiting alone, so measure DESCENDING — the sensitive
+        # level first, in the coolest state available — plus a cool-down
+        # after the preceding full-load suite. Measured efficiency: 0.93
+        # idle-machine, 0.85 warm-machine descending, vs 0.69 ascending.
+        cooldown = int(os.environ.get("BENCH_COOLDOWN_S", "90"))
         perf = {}
-        for c in cores_pair:
+        for c in sorted(cores_pair, reverse=True):
             time.sleep(cooldown)
             env = dict(os.environ, BENCH_SCALING_WORKER=str(c), BENCH_PAGES=str(scaling_pages))
             r = subprocess.run(
