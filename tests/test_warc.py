@@ -46,3 +46,35 @@ def test_read_warc_spark(spark, tmp_path):
         "https://a.example/1", "https://a.example/2", "https://a.example/3",
     }
     assert all(r.record_id.startswith("<urn:uuid:rec-") for r in rows)
+
+
+def test_warc_to_quality_pipeline(spark, tmp_path):
+    """End-to-end: raw WARC archive -> parse -> html extract -> fused quality
+    battery — the full ingestion path a Common-Crawl job runs."""
+    from pyspark.sql import functions as F
+
+    from datatrove_spark.operators import extract
+    from datatrove_spark.registry import quality_pipeline
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs far away to the hills. "
+        "It was a bright morning and the birds were singing with joy in the trees. "
+        "Every day the people of the town would walk to the market with their goods. "
+        "They would trade stories and bread and have a fine time among friends. "
+        "Nothing could spoil the calm of that place, not even the rain at night."
+    )
+    records = [
+        {"url": "https://w.example/good", "ts": "2024-03-01T10:00:00Z",
+         "body": f"<html><body><h1>T</h1><p>{good}</p></body></html>"},
+        {"url": "https://w.example/short", "ts": "2024-03-01T10:01:00Z",
+         "body": "<html><body><p>too short.</p></body></html>"},
+    ]
+    (tmp_path / "cc.warc.gz").write_bytes(build_warc_bytes(records, compress=True))
+
+    pages = read_warc(spark, str(tmp_path / "cc.warc.gz"))
+    extracted = extract.apply(pages.withColumn("html", F.col("html").cast("string")))
+    out = {r.url: (r.keep, r.drop_reason) for r in quality_pipeline(extracted).collect()}
+    assert out["https://w.example/good"][0] is True
+    # repetition runs first (FineWeb order): a 2-word doc trips the top-2-gram
+    # length rule before gopher_short_doc can fire
+    assert out["https://w.example/short"] == (False, "top_2_gram")
