@@ -136,7 +136,9 @@ def signatures_native(
 
 def py_bucket_sigs(text: str, cfg: MinHashConfig = MinHashConfig()) -> list[tuple[int, int]]:
     """Pure-Python/numpy per-doc kernel — identical values to the
-    expression path (shared h60/perm31 definitions)."""
+    expression path (shared h60/perm31 definitions). NULL text -> no
+    shingles -> no signature rows (= the SQL oracle's NULL propagation)."""
+    text = text or ""
     import numpy as np
 
     from datatrove_spark.reference_impl.filters import simplify_text

@@ -45,7 +45,9 @@ def _is_public(m: str) -> bool:
 
 
 def scrub(text: str, cfg: PIIConfig = PIIConfig()) -> str:
-    """Pure-Python per-document kernel (shared by the pandas UDF and tests)."""
+    """Pure-Python per-document kernel (shared by the pandas UDF and tests).
+    NULL text = empty document."""
+    text = text or ""
     if cfg.remove_emails:
         i = 0
 

@@ -35,7 +35,9 @@ NAME = "simhash"
 
 
 def py_fingerprint(text: str, cfg: SimHashConfig = SimHashConfig()) -> int | None:
-    """numpy per-doc kernel — identical values to the expression path."""
+    """numpy per-doc kernel — identical values to the expression path.
+    NULL text -> None fingerprint (= the SQL oracle's NULL propagation)."""
+    text = text or ""
     import numpy as np
 
     from datatrove_spark.functions.hashing import py_hash60

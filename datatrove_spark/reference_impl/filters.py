@@ -40,8 +40,8 @@ _TOKEN_RE = re.compile(TOKEN_RE)
 _SENT_RE = re.compile(r"[^.!?]+[.!?]+")
 
 
-def words(text: str) -> list[str]:
-    return _WORD_RE.findall(text)
+def words(text: str | None) -> list[str]:
+    return _WORD_RE.findall(text or "")
 
 
 def simplify_text(text: str) -> str:
@@ -51,8 +51,8 @@ def simplify_text(text: str) -> str:
     return s.strip()
 
 
-def sentences(text: str) -> list[str]:
-    return _SENT_RE.findall(text)
+def sentences(text: str | None) -> list[str]:
+    return _SENT_RE.findall(text or "")
 
 
 def token_count(text: str) -> int:
@@ -64,7 +64,8 @@ def gopher_quality(
 ) -> str | None:
     """Returns the drop reason or None (keep). Provenance:
     gopher_quality_filter.py:62-125. `ws` lets the fused battery share one
-    tokenization across stages."""
+    tokenization across stages. NULL text = empty document."""
+    text = text or ""
     if ws is None:
         ws = words(text)
     n_words = len(ws)
@@ -166,6 +167,7 @@ def gopher_repetition(
     tie-break (on the joined form, matching the SQL oracle) only runs when a
     cheap upper bound — the longest n-window's chars x top count — could
     actually cross the threshold; for organic text that path is rare."""
+    text = text or ""
     text_len = len(text)
     paras = re.split(r"\n{2,}", text.strip())
     dup_p, dup_p_chars = _find_duplicates(paras)
@@ -231,7 +233,8 @@ def c4_quality(
 ) -> tuple[str | None, str]:
     """Returns (drop_reason or None, rewritten_text). Provenance:
     c4_filters.py:88-135 (line scan order kept; sentence counting uses the
-    engine's portable sentence splitter)."""
+    engine's portable sentence splitter). NULL text = empty document."""
+    text = text or ""
     kept_lines: list[str] = []
     num_sentences = 0
     for raw in text.split("\n"):
@@ -266,7 +269,8 @@ def c4_quality(
 def fineweb_quality(
     text: str, cfg: FineWebQualityConfig = FineWebQualityConfig()
 ) -> str | None:
-    """Provenance: fineweb_quality_filter.py:31-54."""
+    """Provenance: fineweb_quality_filter.py:31-54. NULL text = empty."""
+    text = text or ""
     lns = text.split("\n")
     punct_ratio = sum(1 for ln in lns if ln.endswith(FINEWEB_STOP_CHARS)) / len(lns)
     if punct_ratio <= cfg.line_punct_thr and not (
@@ -299,9 +303,11 @@ def unigram_log_prob(
 
 
 def c4_paragraphs(text: str, cfg: C4ParagraphConfig = C4ParagraphConfig()) -> str | None:
-    """Provenance: c4_filters.py:153-166 (heapq.nlargest top-3 line check)."""
+    """Provenance: c4_filters.py:153-166 (heapq.nlargest top-3 line check).
+    NULL text = empty document."""
     import heapq
 
+    text = text or ""
     lens = [len(line) for line in text.split("\n")]
     if len(lens) < cfg.min_paragraphs or min(heapq.nlargest(cfg.min_paragraphs, lens)) < cfg.min_paragraph_len:
         return f"< {cfg.min_paragraphs} paragraphs"
@@ -317,7 +323,8 @@ def c4_badwords(
     """Returns (drop_reason or None, missing_lang). Provenance:
     c4_filters.py:269-281; the word-bounded/bare alternation split per
     language mirrors :258-264 (see operators/c4_badwords.py for the
-    documented list + RNG deviations)."""
+    documented list + RNG deviations). NULL text = empty document."""
+    text = text or ""
     from datatrove_spark.operators.c4_badwords import _pattern
 
     lg = lang or cfg.default_language

@@ -127,3 +127,23 @@ def test_fuzz_c4_badwords(fuzz):
     got = _col(c4_badwords.apply(df2), "c4_badwords_reason", "c4_badwords_missing_lang")
     for i, t in enumerate(docs):
         assert got[i] == ref.c4_badwords(t, langs[i % 5]), f"doc {i}: {t[:80]!r}"
+
+
+def test_null_text_rows_survive_pipeline(spark):
+    """Real CC data carries NULL texts; every kernel treats NULL as an empty
+    document instead of crashing the task."""
+    from datatrove_spark.operators import minhash, pii, simhash
+    from datatrove_spark.registry import quality_pipeline
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "A good enough line to exist."), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in quality_pipeline(df).collect()}
+    assert got[0] == (False, "gopher_short_doc")
+    assert got[2] == (False, "gopher_short_doc")
+
+    assert minhash.signatures(df).filter("doc_id != 1").count() == 0  # no rows for NULL docs
+    assert simhash.fingerprints(df).filter("doc_id != 1").count() == 0
+    scrubbed = {r.doc_id: r.pii_text for r in pii.apply(df).collect()}
+    assert scrubbed[0] == ""
