@@ -87,3 +87,37 @@ def test_filter_pushdown_reaches_scan(pages):
     plan = plan_of(pages.filter(F.col("doc_id") < 25).select("doc_id", "text"))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "LessThan(doc_id,25)" in pushed[0], plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew handling at runtime (north rule): one hot key holding 2/3 of the
+    left side must be split by AQE's skew-join rule — the executed adaptive
+    plan carries SortMergeJoin(skew=true)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(0, 300000)
+            .withColumn("k", F.when(F.col("id") < 200000, 0).otherwise(F.pmod("id", F.lit(100))))
+            .withColumn("pay", F.concat(F.lit("x" * 50), F.col("id")))
+        )
+        right = spark.range(0, 101).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 2)
+        j = left.join(right.hint("merge"), "k")
+        assert j.count() == 300000
+        j.collect()  # materialize THIS plan so explain shows the final adaptive form
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
