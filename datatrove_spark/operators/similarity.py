@@ -160,14 +160,15 @@ def ann_topk(
     )
 
 
-def neardup_pairs(
+def neardup_pairs_rowwise(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(a, b) pairs with cosine >= threshold (exact all-pairs; the scale
-    path replaces the self-join with lsh_buckets collision candidates)."""
+    """Row-level self-join rendering (executable documentation / cross-check
+    of neardup_pairs): interpreted HOF cosine per pair — measured far slower
+    than the block-matrix kernel, identical output."""
     left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
     right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
     joined = left.join(right, F.col("a") < F.col("b"))
@@ -176,6 +177,82 @@ def neardup_pairs(
         .filter(F.col("score") >= threshold)
         .select("a", "b")
     )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold as a BLOCK-MATRIX product: vectors
+    group into n_blocks chunks, the (upper-triangular) chunk-pair grid joins
+    as n_blocks^2/2 rows, and each grid cell computes a numpy score matrix in
+    one applyInPandas call. Float parity with the row-wise form / SQL oracle:
+    dots accumulate dimension-by-dimension (64 outer-product adds), which
+    reproduces the strict left-to-right float64 fold per element.
+
+    Scale: work is (N/B)^2 per cell x B^2 cells, embarrassingly parallel;
+    B grows with the corpus so each cell's matrices stay executor-sized.
+    (For billion-vector corpora the LSH path — lsh_buckets candidates +
+    this verifier — replaces the full grid.)"""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from collections.abc import Iterator
+
+    packed = (
+        df.select(
+            F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
+            F.col(id_col).alias("vid"),
+            to_double_array(F.col(vec_col)).alias("vec"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "vec")).alias("items"))
+    )
+    # the grid is n_blocks^2/2 ROWS (blocks packed first) — the shuffle moves
+    # each block B times, never row-level pairs
+    grid = (
+        packed.alias("l")
+        .join(packed.alias("r"), F.col("l.blk") <= F.col("r.blk"))
+        .select(
+            F.col("l.items").alias("items_l"),
+            F.col("r.items").alias("items_r"),
+            (F.col("l.blk") == F.col("r.blk")).alias("same"),
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def cells(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdfs:
+            for items_l, items_r, same in zip(pdf["items_l"], pdf["items_r"], pdf["same"]):
+                ids_l = np.array([it["vid"] for it in items_l], dtype=np.int64)
+                ids_r = np.array([it["vid"] for it in items_r], dtype=np.int64)
+                L = np.array([np.asarray(it["vec"], dtype=np.float64) for it in items_l])
+                R = np.array([np.asarray(it["vec"], dtype=np.float64) for it in items_r])
+                dots = np.zeros((len(ids_l), len(ids_r)))
+                nl = np.zeros(len(ids_l))
+                nr = np.zeros(len(ids_r))
+                for j in range(L.shape[1]):  # columnwise: exact left-fold order
+                    dots += L[:, j, None] * R[None, :, j]
+                    nl += L[:, j] * L[:, j]
+                    nr += R[:, j] * R[:, j]
+                scores = dots / (np.sqrt(nl)[:, None] * np.sqrt(nr)[None, :])
+                mask = scores >= threshold
+                if same:
+                    # diagonal cell: upper triangle only
+                    mask &= ids_l[:, None] < ids_r[None, :]
+                # off-diagonal cells hold disjoint id sets: keep every match,
+                # normalized to (min, max) — id order does not follow block order
+                ai, bi = np.nonzero(mask)
+                if len(ai):
+                    a = np.minimum(ids_l[ai], ids_r[bi])
+                    b = np.maximum(ids_l[ai], ids_r[bi])
+                    yield pd.DataFrame({"a": a, "b": b})
+
+    return grid.mapInPandas(cells, "a long, b long")
 
 
 # --- DuckDB oracles ----------------------------------------------------------
