@@ -38,7 +38,7 @@ tests/test_registry_parity via the registry entry).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datatrove_spark.config import MinHashConfig

@@ -25,7 +25,7 @@ rather than relying on the 64 MB auto threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 NAME = "relational"

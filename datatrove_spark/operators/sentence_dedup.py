@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datatrove_spark.functions import text as T
-from datatrove_spark.functions.hashing import hash60, sql_hash60
+from datatrove_spark.functions.hashing import sql_hash60
 
 NAME = "sentence_dedup"
 

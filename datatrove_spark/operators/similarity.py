@@ -197,8 +197,6 @@ def neardup_pairs(
     B grows with the corpus so each cell's matrices stay executor-sized.
     (For billion-vector corpora the LSH path — lsh_buckets candidates +
     this verifier — replaces the full grid.)"""
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
     from collections.abc import Iterator
 
     packed = (
