@@ -77,7 +77,7 @@ def oracle_sql(table: str, url_expr: str, text_col: str = "text") -> str:
 SELECT {host} AS host,
   count(*) AS n_docs,
   count(DISTINCT {url_expr}) AS n_urls,
-  sum(len(regexp_extract_all({text_col}, '{TOKEN_RE}'))) AS total_tokens,
+  sum(len(regexp_extract_all({text_col}, '{TOKEN_RE}')))::BIGINT AS total_tokens,
   round(sum(len(regexp_extract_all({text_col}, '{TOKEN_RE}')))::DOUBLE / count(*), 4) AS avg_tokens
 FROM {table}
 GROUP BY 1

@@ -38,8 +38,12 @@ def _d(col: str):
 
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
-    disc_price = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
-    charge = disc_price * (F.lit(1).cast(_DEC) + _d("l_tax"))
+    # Each intermediate is re-cast to DECIMAL(18,6): price/discount/tax carry
+    # <=2 dp so the products are exact at scale <=6 — the cast is lossless and
+    # pins the scale that Spark and DuckDB would otherwise reduce differently
+    # on precision overflow (observed 1e-9-relative drift in sum_charge).
+    disc_price = (_d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))).cast(_DEC)
+    charge = (disc_price * (F.lit(1).cast(_DEC) + _d("l_tax"))).cast(_DEC)
     agg = (
         lineitem.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
@@ -51,13 +55,17 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
             F.count("*").alias("count_order"),
         )
     )
+    # money math stays DECIMAL through the aggregation (exact, order-independent);
+    # the final projection renders DOUBLE so the Spark and DuckDB results carry
+    # identical pandas dtypes under the driver's frame compare (Decimal cells
+    # hash differently from float64 even at equal value)
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("sum_qty").cast(_DEC).alias("sum_qty"),
-        F.col("sum_base_price").cast(_DEC).alias("sum_base_price"),
-        F.col("sum_disc_price").cast(_DEC).alias("sum_disc_price"),
-        F.col("sum_charge").cast(_DEC).alias("sum_charge"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
         F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
         F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 6).alias("avg_price"),
         "count_order",
@@ -75,13 +83,16 @@ def top_revenue_orders(
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     o = orders.filter(F.col("o_orderdate") < date)
     li = lineitem.filter(F.col("l_shipdate") > date)
-    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    revenue = (_d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))).cast(_DEC)
     joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
         F.broadcast(cust), o.o_custkey == cust.c_custkey
     )
+    # exact DECIMAL sum, rendered DOUBLE before the order/limit so the top-k
+    # tie-break (revenue DESC, orderkey ASC) is evaluated over the same values
+    # the oracle orders by
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast(_DEC).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(k)
     )
@@ -93,7 +104,7 @@ def region_revenue(
     """Revenue per nation for suppliers and customers in the same nation of
     one region — the Q5 star-join shape."""
     t = spark_tables
-    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    revenue = (_d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))).cast(_DEC)
     dims = (
         t["supplier"]
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -116,22 +127,25 @@ def region_revenue(
     )
     return (
         joined.groupBy("n_name")
-        .agg(F.sum(revenue).cast(_DEC).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items"))
     )
 
 
 # --- DuckDB oracles ----------------------------------------------------------
 
-_SQL_DISC = "(l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)))"
+_SQL_DISC = (
+    "(l_extendedprice::DECIMAL(18,6) * "
+    "(1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)))::DECIMAL(18,6)"
+)
 
 
 def oracle_sql_pricing_summary(cutoff: str = "1998-09-02") -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity::DECIMAL(18,6))::DECIMAL(18,6) AS sum_qty,
-  sum(l_extendedprice::DECIMAL(18,6))::DECIMAL(18,6) AS sum_base_price,
-  sum({_SQL_DISC})::DECIMAL(18,6) AS sum_disc_price,
-  sum({_SQL_DISC} * (1::DECIMAL(18,6) + l_tax::DECIMAL(18,6)))::DECIMAL(18,6) AS sum_charge,
+  sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,6))::DOUBLE AS sum_base_price,
+  sum({_SQL_DISC})::DOUBLE AS sum_disc_price,
+  sum(({_SQL_DISC} * (1::DECIMAL(18,6) + l_tax::DECIMAL(18,6)))::DECIMAL(18,6))::DOUBLE AS sum_charge,
   round(sum(l_quantity::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_qty,
   round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_price,
   count(*) AS count_order
@@ -145,7 +159,7 @@ def oracle_sql_top_revenue_orders(
 ) -> str:
     return f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum({_SQL_DISC})::DECIMAL(18,6) AS revenue
+       sum({_SQL_DISC})::DOUBLE AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = '{segment}'
@@ -159,7 +173,7 @@ LIMIT {k}
 
 def oracle_sql_region_revenue(region_name: str = "ASIA", year: int = 1996) -> str:
     return f"""
-SELECT n_name, sum({_SQL_DISC})::DECIMAL(18,6) AS revenue, count(*) AS n_items
+SELECT n_name, sum({_SQL_DISC})::DOUBLE AS revenue, count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey

@@ -57,7 +57,7 @@ def cosine_topk(
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            query_id_col, id_col, "rank", F.round(score, 6).alias("score")
+            query_id_col, id_col, F.col("rank").cast("long").alias("rank"), F.round(score, 6).alias("score")
         )
     )
 
@@ -156,7 +156,7 @@ def ann_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", F.round(score, 6).alias("score"))
+        .select(query_id_col, id_col, F.col("rank").cast("long").alias("rank"), F.round(score, 6).alias("score"))
     )
 
 

@@ -86,8 +86,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts, value,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) + 1)::BIGINT AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,

@@ -27,7 +27,9 @@ NAME = "token_stats"
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("token_count", T.token_count(F.col(text_col)))
+    # BIGINT, matching the DuckDB oracle's len() (pandas int64 vs int32 drift
+    # otherwise shows up in the driver's dtype-sensitive frame compare)
+    return df.withColumn("token_count", T.token_count(F.col(text_col)).cast("long"))
 
 
 def group_stats(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
@@ -67,7 +69,7 @@ WITH d AS (
          len({text_col}) AS nc
   FROM {table}
 )
-SELECT {group_col}, count(*) AS n_docs, sum(tc) AS total_tokens, sum(nc) AS total_chars,
+SELECT {group_col}, count(*) AS n_docs, sum(tc)::BIGINT AS total_tokens, sum(nc)::BIGINT AS total_chars,
        min(tc) AS min_tokens, max(tc) AS max_tokens,
        round(sum(tc)::DOUBLE / count(*), 4) AS avg_tokens
 FROM d GROUP BY 1

@@ -455,8 +455,15 @@ FROM ({inner})
 
 
 def _q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The array-valued API lives in operators/tokenizer.py; the registry
+    # projection renders it as a comma-joined STRING because the driver's
+    # pandas canonicalizer cannot hash list cells (round-1 `token_ids` err).
     df = tokenizer.with_token_ids(load(spark, sf_dir, "documents"))
-    return df.select("doc_id", "token_ids", "n_tokens")
+    return df.select(
+        "doc_id",
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias("token_ids"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,7 +581,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "token_ids": (
         _q_token_ids,
-        f"SELECT doc_id, {tokenizer.sql_token_ids('text')} AS token_ids, "
+        f"SELECT doc_id, array_to_string(list_transform({tokenizer.sql_token_ids('text')}, "
+        f"x -> x::VARCHAR), ',') AS token_ids, "
         f"len({tokenizer.sql_token_ids('text')}) AS n_tokens FROM documents",
     ),
     "pricing_summary": (_q_pricing_summary, relational.oracle_sql_pricing_summary()),
