@@ -134,6 +134,7 @@ def main() -> None:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
             )
+            assert r.returncode == 0, f"scaling worker ({c} cores) failed:\n{r.stderr[-4000:]}"
             line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
             perf[c] = json.loads(line)["docs_per_sec"]
         lo, hi = sorted(perf)

@@ -156,6 +156,13 @@ class LangIdConfig:
 class UnigramLogProbConfig:
     logprobs_threshold: float = -10.0
     unknown_freq: float = 1e-9  # unigram_log_probs.py:64
+    # Bound on the corpus-derived vocabulary (top-N by count, ties by word).
+    # The reference scores against a FIXED downloaded table (unigram_log_probs
+    # .py:43-60); an uncapped corpus-derived vocab over 100 TB of web text is
+    # billions of distinct tokens — broadcasting it would OOM the executors.
+    # Words outside the table take unknown_freq, like the reference's
+    # .get(word, 1e-9).
+    max_vocab: int = 1_000_000
 
 
 @dataclass(frozen=True)

@@ -101,8 +101,11 @@ def oracle_sql(
     cfg: C4BadWordsConfig = C4BadWordsConfig(),
 ) -> str:
     langs = ", ".join(f"'{lg}'" for lg in cfg.badwords)
+    def q(pat: str) -> str:  # SQL-quote: a custom list may carry apostrophes
+        return pat.replace("'", "''")
+
     match_cases = "\n      ".join(
-        f"WHEN lg = '{lg}' THEN regexp_matches(low, '{_pattern(lg, ws)}')"
+        f"WHEN lg = '{lg}' THEN regexp_matches(low, '{q(_pattern(lg, ws))}')"
         for lg, ws in cfg.badwords.items()
     )
     if cfg.keep_fraction > 0.0:

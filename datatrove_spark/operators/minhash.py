@@ -278,6 +278,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels is localCheckpointed eagerly each round, so the cached edges are
+    # no longer needed (the driver-side branch unpersists on its own path)
+    edges.unpersist()
     return labels
 
 

@@ -94,10 +94,38 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+def edges(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
           cfg: SimHashConfig = SimHashConfig()) -> DataFrame:
-    """Verified (a, b) pairs: band-collision candidates within max_hamming."""
+    """Component-preserving verified edge set (not every verified pair).
+
+    The naive band self-join over documents is all-pairs per (band, value)
+    group — O(k²) join rows when a degenerate fingerprint (boilerplate /
+    near-empty docs) puts k docs in one band bucket. On web corpora the hot
+    case is docs with *identical* fingerprints, so collapse first:
+
+      1. one representative per distinct fingerprint (groupBy fp → min id);
+         identical-fp docs attach to their representative via star edges —
+         hamming 0, verified by construction, linear in group size, and no
+         collect_list: the member→rep edge comes from a join on fp.
+      2. the band self-join runs over DISTINCT fingerprints only, so a
+         million boilerplate copies contribute one row, not 10¹² pairs.
+      3. cross-fp candidates hamming-verify as before; edges connect the
+         fp representatives.
+
+    Hamming distance is a function of the fingerprint alone, so the
+    connected components of (star ∪ verified-rep) edges are exactly the
+    components of the full verified doc-pair graph the DuckDB oracle
+    computes — the collapse changes the physical shape, not the semantics.
+    Residual worst case is quadratic in *distinct* near-identical
+    fingerprints per band value, which is inherent to exact simhash
+    banding."""
     fps = fingerprints(df, id_col, text_col, cfg)
+    reps = fps.groupBy("fp").agg(F.min(id_col).alias("fp_rep"))
+    same_fp = (
+        fps.join(reps, "fp")
+        .filter(F.col(id_col) != F.col("fp_rep"))
+        .select(F.col("fp_rep").alias("a"), F.col(id_col).alias("b"))
+    )
     band_bits = cfg.bits // cfg.bands
     mask = (1 << band_bits) - 1
     bands = F.array(
@@ -109,29 +137,28 @@ def pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             for i in range(cfg.bands)
         ]
     )
-    exploded = fps.select(id_col, "fp", F.explode(bands).alias("b")).select(
-        id_col, "fp", F.col("b.band_id").alias("band_id"), F.col("b.val").alias("val")
+    exploded = reps.select("fp", "fp_rep", F.explode(bands).alias("b")).select(
+        "fp", "fp_rep", F.col("b.band_id").alias("band_id"), F.col("b.val").alias("val")
     )
-    left = exploded.select(
-        F.col("band_id"), F.col("val"), F.col(id_col).alias("a"), F.col("fp").alias("fp_a")
-    )
+    left = exploded.select("band_id", "val", F.col("fp").alias("fp_a"), F.col("fp_rep").alias("rep_a"))
     right = exploded.select(
         F.col("band_id").alias("band_id2"), F.col("val").alias("val2"),
-        F.col(id_col).alias("b"), F.col("fp").alias("fp_b"),
+        F.col("fp").alias("fp_b"), F.col("fp_rep").alias("rep_b"),
     )
     cand = left.join(
         right,
-        (left.band_id == right.band_id2) & (left.val == right.val2) & (left.a < right.b),
+        (left.band_id == right.band_id2) & (left.val == right.val2) & (left.fp_a < right.fp_b),
     )
     verified = cand.filter(
         F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= cfg.max_hamming
     )
-    return verified.select("a", "b").distinct()
+    cross_fp = verified.select(F.col("rep_a").alias("a"), F.col("rep_b").alias("b")).distinct()
+    return same_fp.union(cross_fp)
 
 
 def apply(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
           cfg: SimHashConfig = SimHashConfig()) -> DataFrame:
-    comp = connected_components(pairs(df, id_col, text_col, cfg))
+    comp = connected_components(edges(df, id_col, text_col, cfg))
     out = df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
     return (
         out.withColumn("dup_of", F.when(F.col("rep") != F.col(id_col), F.col("rep")))

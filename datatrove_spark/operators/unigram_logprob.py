@@ -32,12 +32,24 @@ from datatrove_spark.functions import text as T
 NAME = "unigram_logprob"
 
 
-def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq) relative-frequency table over the lowercased corpus."""
+def word_freqs(
+    df: DataFrame, text_col: str = "text", max_vocab: int = UnigramLogProbConfig.max_vocab
+) -> DataFrame:
+    """(word, freq) relative-frequency table over the lowercased corpus,
+    capped to the top ``max_vocab`` words (count desc, word asc tie-break).
+
+    The cap bounds the broadcast side independent of corpus size: web-scale
+    distinct-token counts are dominated by a typo/garbage tail that a
+    frequency table should not carry (the reference's table is likewise a
+    fixed finite word list). ``orderBy().limit()`` plans as
+    TakeOrderedAndProject — per-partition top-N merged once, no global sort
+    shuffle. Frequencies are relative to the CAPPED table's total, matching
+    the reference's ``count / total_count`` over its own table."""
     words = df.select(F.explode(T.words(F.lower(F.col(text_col)))).alias("word"))
     counts = words.groupBy("word").agg(F.count("*").alias("c"))
-    total = counts.agg(F.sum("c").alias("t"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    capped = counts.orderBy(F.desc("c"), F.asc("word")).limit(max_vocab)
+    total = capped.agg(F.sum("c").alias("t"))
+    return capped.crossJoin(F.broadcast(total)).select(
         "word", (F.col("c").cast("double") / F.col("t")).alias("freq")
     )
 
@@ -48,9 +60,13 @@ def apply(
     text_col: str = "text",
     cfg: UnigramLogProbConfig = UnigramLogProbConfig(),
 ) -> DataFrame:
-    freqs = word_freqs(df, text_col)
+    freqs = word_freqs(df, text_col, cfg.max_vocab)
     exploded = df.select(id_col, F.explode(T.words(F.lower(F.col(text_col)))).alias("word"))
-    scored = exploded.join(F.broadcast(freqs), "word")
+    # left join: out-of-vocabulary words (beyond the cap) score unknown_freq,
+    # the reference's .get(word, 1e-9) — they still count toward the mean.
+    scored = exploded.join(F.broadcast(freqs), "word", "left").withColumn(
+        "freq", F.coalesce(F.col("freq"), F.lit(cfg.unknown_freq))
+    )
     # ln values quantized to integer micro-units -> the sum is exact integer
     # arithmetic, immune to shuffle order (determinism contract).
     micro = F.round(F.log("freq") * 1_000_000).cast("long")
@@ -81,12 +97,15 @@ def oracle_sql(
 WITH ex AS (
   SELECT {id_col} AS id, unnest(regexp_extract_all(lower({text_col}), '\\S+')) AS word
   FROM {table}
+), capped AS (
+  SELECT word, count(*) AS c FROM ex GROUP BY 1
+  ORDER BY c DESC, word ASC LIMIT {cfg.max_vocab}
 ), vocab AS (
-  SELECT word, count(*)::DOUBLE / (SELECT count(*) FROM ex) AS freq FROM ex GROUP BY 1
+  SELECT word, c::DOUBLE / (SELECT sum(c) FROM capped) AS freq FROM capped
 ), folded AS (
   SELECT e.id,
-         round(sum(round(ln(v.freq) * 1000000)::BIGINT)::DOUBLE / 1000000 / count(*), 4) AS unigram_logprob
-  FROM ex e JOIN vocab v USING (word) GROUP BY 1
+         round(sum(round(ln(coalesce(v.freq, {cfg.unknown_freq})) * 1000000)::BIGINT)::DOUBLE / 1000000 / count(*), 4) AS unigram_logprob
+  FROM ex e LEFT JOIN vocab v USING (word) GROUP BY 1
 )
 SELECT t.{id_col},
   coalesce(f.unigram_logprob, 0.0) AS unigram_logprob,

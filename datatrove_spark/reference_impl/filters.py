@@ -205,6 +205,10 @@ def gopher_repetition(
         top_len = cums[i + n] - cums[i] + (n - 1)
         if _ratio_gt(top_len * top_count, text_len, frac):
             return f"top_{n}_gram"
+    # the first triggering size wins, in CONFIG order (reference iterates its
+    # tuple as given); the no-repeat early break is only sound when the sizes
+    # ascend, so gate it rather than reordering a custom config
+    ascending = list(cfg.dup_n_grams) == sorted(cfg.dup_n_grams)
     for n, frac in cfg.dup_n_grams:
         if m < n:
             continue
@@ -213,7 +217,9 @@ def gopher_repetition(
         if max(counts.values()) < 2:
             # a duplicated n-gram contains duplicated (n-1)-grams, so once no
             # n-gram repeats, no larger n can repeat either (ascending order)
-            break
+            if ascending:
+                break
+            continue
         first: dict[tuple, int] = {}
         covered = [False] * m
         for i, g in enumerate(grams):

@@ -5,9 +5,18 @@ this is the streaming form with explicit keyed state via
 ``applyInPandasWithState`` — the engine's demonstration of a custom
 stateful operator (the reference has no streaming at all, SURVEY.md §2.9).
 
-Semantics (same contract as time_series.sessionize):
+Semantics (same contract as time_series.sessionize for in-order input):
   a user's events belong to one session while consecutive gaps are
   <= gap_minutes; a larger gap closes the session and starts a new one.
+
+Late-data contract (streaming only — the batch form sees all data sorted):
+  within a micro-batch, events are sorted before merging, so intra-batch
+  disorder is fully handled. Across micro-batches, a straggler that still
+  falls within ``gap`` of the open session's interval merges correctly
+  (including extending session_start backwards); a straggler older than
+  ``session_start - gap`` is DROPPED, because the session it belonged to
+  may already have been emitted — the same policy Spark's watermark applies
+  one level earlier. Set ``watermark`` to the disorder bound you need.
 
 State machine per user key:
   state = (start_us, last_us, n_events, sum_value) of the OPEN session.
@@ -80,8 +89,17 @@ def make_session_fn(gap_minutes: int = 30):
                 elif us - cur[1] > gap_us:
                     closed.append(cur)
                     cur = (us, us, 1, float(val))
+                elif us < cur[0] - gap_us:
+                    # a cross-batch straggler older than the open session's
+                    # reach: its true session may already be partially
+                    # emitted, so merging would corrupt session_start —
+                    # drop it (standard late-data policy; Spark's watermark
+                    # already dropped anything older than the watermark)
+                    continue
                 else:
-                    cur = (cur[0], max(cur[1], us), cur[2] + 1, cur[3] + float(val))
+                    # out-of-order within the gap window: min() lets a
+                    # straggler legitimately extend the session backwards
+                    cur = (min(cur[0], us), max(cur[1], us), cur[2] + 1, cur[3] + float(val))
             if cur is not None:
                 state.update(cur)
                 # no more events can extend the session once the event-time

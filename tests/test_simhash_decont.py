@@ -67,6 +67,37 @@ def test_dedup_and_oracle_parity(spark, corpus):
     assert out[2] == (None, True)
 
 
+def test_hot_band_edges_linear(spark):
+    """A degenerate hot fingerprint (k identical boilerplate docs) must
+    produce a linear star edge set, not the C(k,2) all-pairs blowup the
+    doc-level band self-join had — while apply() still matches the all-pairs
+    DuckDB oracle's components."""
+    k = 60
+    hot = [(i, BASE) for i in range(k)]
+    docs = hot + [(1000, DOCS[2][1]), (1001, BASE + " plus two extra words")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    e = simhash.edges(df).collect()
+    # k identical-fp docs -> exactly k-1 star edges to the min id, plus at
+    # most one verified cross-fp edge for the hamming-close variant
+    star = [r for r in e if (r.a, r.b) != tuple(sorted((0, 1001)))]
+    assert len(star) == k - 1
+    assert all(r.a == 0 for r in star)
+    assert len(e) <= k  # nowhere near C(60,2) = 1770
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in docs:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    s_dd = sorted(
+        tuple(r) for r in simhash.apply(df).select("doc_id", "dup_of", "simhash_keep").collect()
+    )
+    d_dd = sorted(tuple(r) for r in con.execute(simhash.oracle_sql_dedup()).fetchall())
+    assert s_dd == d_dd
+
+
 DECONT_DOCS = [
     (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),  # eval doc
     (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu extra tail here"),  # contains eval 12-gram
