@@ -113,16 +113,50 @@ class C4ParagraphConfig:  # c4_filters.py:149-151
 
 
 # Built-in stand-in for the LDNOOBW lists the reference downloads at runtime
-# (c4_filters.py:171-205, 241-246): adult/spam terms per language; ja/th/zh
-# entries are matched without word boundaries. Replace with the real lists
-# via C4BadWordsConfig(badwords=...) when asset download is available.
+# (c4_filters.py:171-205, 241-246). Coverage matches the reference's
+# _BADWORDS_LANGS exactly (all 28 codes, c4_filters.py:173-201); the words
+# per language are abbreviated adult-content/spam stand-ins, NOT the full
+# lists (no network in this environment — the real files are one-word-per-
+# line and load via operators.c4_badwords.load_badwords_dir, or pass
+# C4BadWordsConfig(badwords=...)). ja/th/zh entries are matched without word
+# boundaries (c4_filters.py:259-261).
 DEFAULT_BADWORDS: dict[str, tuple[str, ...]] = {
-    "en": ("porn", "xxx", "viagra", "erotic", "escort service", "sex cam"),
+    "ar": ("إباحية", "سكس"),
+    "cs": ("porno", "sex zdarma"),
+    "da": ("porno", "sexfilm"),
     "de": ("porno", "sexkontakte"),
-    "fr": ("porno", "sexe gratuit"),
+    "en": ("porn", "xxx", "viagra", "erotic", "escort service", "sex cam"),
+    "eo": ("pornografio",),
     "es": ("porno", "sexo gratis"),
-    "ja": ("エロ動画",),
-    "zh": ("色情",),
+    "fa": ("پورن", "سکس"),
+    "fi": ("porno", "seksitreffit"),
+    "fil": ("pornograpiya",),
+    "fr": ("porno", "sexe gratuit"),
+    "fr-CA-u-sd-caqc": ("porno",),
+    "hi": ("अश्लील", "सेक्स"),
+    "hu": ("pornó", "szexpartner"),
+    "it": ("porno", "sesso gratis"),
+    "ja": ("エロ動画", "ポルノ"),
+    "kab": ("porno",),
+    "ko": ("포르노", "야동"),
+    "nl": ("porno", "seksfilm"),
+    "no": ("porno", "sexfilm"),
+    "pl": ("porno", "seks kamerki"),
+    "pt": ("porno", "sexo grátis"),
+    "ru": ("порно", "секс видео"),
+    "sv": ("porr", "porrfilm"),
+    "th": ("หนังโป๊",),
+    "tlh": ("ghuy'cha'", "qu'vatlh"),
+    "tr": ("porno", "seks filmi"),
+    "zh": ("色情", "成人影片"),
+}
+
+# Words removed from the lists because they over-filter their language
+# (>10% of documents) — the reference's _BADWORDS_ALLOWLIST
+# (c4_filters.py:203-205), applied at pattern-build time.
+DEFAULT_BADWORDS_ALLOWLIST: dict[str, tuple[str, ...]] = {
+    "ja": ("sm", "グロ", "女の子"),
+    "zh": ("性",),
 }
 
 
@@ -133,6 +167,9 @@ class C4BadWordsConfig:  # c4_filters.py:222-236
     seed_salt: str = "badwords"
     badwords: dict[str, tuple[str, ...]] = field(
         default_factory=lambda: dict(DEFAULT_BADWORDS)
+    )
+    allowlist: dict[str, tuple[str, ...]] = field(
+        default_factory=lambda: dict(DEFAULT_BADWORDS_ALLOWLIST)
     )
 
 

@@ -53,6 +53,41 @@ def _pattern(lang: str, words: tuple[str, ...]) -> str:
     return f"(^|[^a-z0-9])({alts})([^a-z0-9]|$)"
 
 
+def effective_badwords(cfg: C4BadWordsConfig) -> dict[str, tuple[str, ...]]:
+    """Per-language lists minus the allowlist. The reference subtracts the
+    UNION of all languages' allowlists from every list (c4_filters.py:253-255
+    loops `for lang, allowlist in _BADWORDS_ALLOWLIST.items(): badwords -=
+    allowlist` inside a single language's load, shadowing `lang`) — mirrored
+    here for exact parity. Languages whose list empties out drop to the
+    missing-list path."""
+    allowed = {w for ws in cfg.allowlist.values() for w in ws}
+    out = {}
+    for lg, ws in cfg.badwords.items():
+        eff = tuple(w for w in ws if w not in allowed)
+        if eff:
+            out[lg] = eff
+    return out
+
+
+def load_badwords_dir(path: str) -> dict[str, tuple[str, ...]]:
+    """Load real one-word-per-line lists (LDNOOBW file layout: one file per
+    language code) from a local directory, for C4BadWordsConfig(badwords=...).
+    The reference fetches the same files over the network
+    (c4_filters.py:245-253)."""
+    import os
+
+    out: dict[str, tuple[str, ...]] = {}
+    for fname in sorted(os.listdir(path)):
+        full = os.path.join(path, fname)
+        if not os.path.isfile(full):
+            continue
+        with open(full, encoding="utf-8") as f:
+            words = tuple(sorted({ln.strip() for ln in f if ln.strip()}))
+        if words:
+            out[fname] = words
+    return out
+
+
 def columns(
     text_col: Column,
     lang_col: Column,
@@ -64,7 +99,7 @@ def columns(
     lang = F.coalesce(lang_col, F.lit(cfg.default_language))
     known = F.lit(False)
     matched = F.lit(False)
-    for lg, ws in cfg.badwords.items():
+    for lg, ws in effective_badwords(cfg).items():
         is_lang = lang == lg
         known = known | is_lang
         matched = matched | (is_lang & low.rlike(_pattern(lg, ws)))
@@ -100,13 +135,15 @@ def oracle_sql(
     lang_col: str = "lang",
     cfg: C4BadWordsConfig = C4BadWordsConfig(),
 ) -> str:
-    langs = ", ".join(f"'{lg}'" for lg in cfg.badwords)
+    eff = effective_badwords(cfg)
+    langs = ", ".join(f"'{lg}'" for lg in eff)
+
     def q(pat: str) -> str:  # SQL-quote: a custom list may carry apostrophes
         return pat.replace("'", "''")
 
     match_cases = "\n      ".join(
         f"WHEN lg = '{lg}' THEN regexp_matches(low, '{q(_pattern(lg, ws))}')"
-        for lg, ws in cfg.badwords.items()
+        for lg, ws in eff.items()
     )
     if cfg.keep_fraction > 0.0:
         h = sql_hash60(f"'{cfg.seed_salt}' || (id)::VARCHAR")
@@ -156,7 +193,7 @@ def py_scrub_toxicity(
 ) -> str:
     """Per-doc kernel (shared by the batch UDF and tests)."""
     lg = lang or cfg.default_language
-    ws = cfg.badwords.get(lg)
+    ws = effective_badwords(cfg).get(lg)
     if not ws or not text:
         return text
     if lg in ("ja", "th", "zh"):
@@ -195,7 +232,7 @@ def oracle_sql_scrub(
     mask: str = MASK,
 ) -> str:
     cases = []
-    for lg, ws in cfg.badwords.items():
+    for lg, ws in effective_badwords(cfg).items():
         pat = _scrub_pattern(lg, ws).replace("'", "''")
         repl = mask if lg in ("ja", "th", "zh") else f"\\1{mask}\\3"
         cases.append(

@@ -19,6 +19,8 @@ Both consume a BINARY html column (input_hint schema) decoded as UTF-8.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf must resolve the 'pd.Series'
+# string annotations (PEP 563) against module globals at decoration time
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,7 +59,6 @@ def apply(df: DataFrame, html_col: str = "html", out_col: str = "text") -> DataF
 def make_trafilatura_udf(timeout_s: float = 1.0, **kwargs):
     """Library-backed extractor (reference parity path). Raises ImportError
     at *call* time on executors if trafilatura is unavailable."""
-    import pandas as pd
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())

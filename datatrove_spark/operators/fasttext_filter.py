@@ -19,6 +19,8 @@ The fasttext wheel is not installed in this environment, so:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves PEP 563 string annotations
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,8 +51,6 @@ def _load_model(model_file: str):
 
 
 def make_fasttext_udf(model_file: str):
-    import pandas as pd
-
     @F.pandas_udf(_RESULT)
     def classify(texts: pd.Series) -> pd.DataFrame:
         model = _load_model(model_file)

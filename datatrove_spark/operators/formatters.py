@@ -16,6 +16,8 @@ utils/text.py:11-17; the no-alnum rule is the portable rendering.)
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves PEP 563 string annotations
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,7 +78,6 @@ SELECT id AS {id_col}, coalesce(array_to_string(kept, chr(10)), '') AS {NAME}_te
 
 def make_ftfy_udf():
     """ftfy.fix_text batch UDF; identity when the library is absent."""
-    import pandas as pd
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())

@@ -331,10 +331,10 @@ def c4_badwords(
     language mirrors :258-264 (see operators/c4_badwords.py for the
     documented list + RNG deviations). NULL text = empty document."""
     text = text or ""
-    from datatrove_spark.operators.c4_badwords import _pattern
+    from datatrove_spark.operators.c4_badwords import _pattern, effective_badwords
 
     lg = lang or cfg.default_language
-    words = cfg.badwords.get(lg)
+    words = effective_badwords(cfg).get(lg)
     if words is None:
         return None, True
     if re.search(_pattern(lg, words), text.lower()) and not keep_fraction_passes:

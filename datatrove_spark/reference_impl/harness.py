@@ -170,6 +170,34 @@ def reference_battery_labels(texts) -> list[tuple[bool, str | None, str]]:
     return out
 
 
+def reference_c4_badwords(badwords: dict[str, tuple[str, ...]], **kwargs):
+    """The reference's C4BadWordsFilter with OUR word lists injected in place
+    of the network download (cached_asset_path_or_download is patched to
+    materialize the given lists as the one-word-per-line files the reference
+    expects, c4_filters.py:245-253). Also widens the module's language
+    registry so injected languages are accepted. Returns the filter object."""
+    install()
+    import tempfile
+
+    from datatrove.pipeline.filters import c4_filters
+
+    tmpdir = tempfile.mkdtemp(prefix="badwords_")
+
+    def fake_download(url, namespace=None, subfolder=None, **_kw):
+        lang = url.rsplit("/", 1)[-1]
+        if lang not in badwords and url == c4_filters._EN_BADWORDS_URL:
+            lang = "en"
+        path = os.path.join(tmpdir, lang)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(badwords[lang]))
+        return path
+
+    c4_filters.cached_asset_path_or_download = fake_download
+    missing = [lg for lg in badwords if lg not in c4_filters._BADWORDS_LANGS]
+    c4_filters._BADWORDS_LANGS.extend(missing)
+    return c4_filters.C4BadWordsFilter(**kwargs)
+
+
 def reference_pii():
     """Reference PIIFormatter with a per-document counter reset helper —
     the engine's documented deterministic contract (SURVEY §7.3.2)."""

@@ -37,6 +37,7 @@ from datatrove_spark.operators import (
     minhash,
     pii,
     quality_fused,
+    readability,
     sampling,
     relational,
     sentence_dedup,
@@ -289,6 +290,40 @@ _HTML_SQL = (
     "'<html><head><style>p{color:red}</style><script>var x=1;</script></head>"
     "<body><h1>Doc ' || doc_id || '</h1><p>' || text || "
     "' &amp; more</p><!-- hidden --></body></html>'"
+)
+
+
+# boilerplate-laden page: nav/footer/sidebar must be stripped by the
+# readability-native extractor, the article <p> must survive
+def _q_extract_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").withColumn(
+        "html",
+        F.concat(
+            F.lit(
+                "<html><head><script>var x=1;</script></head><body>"
+                '<nav><ul><li>Home</li><li>About</li></ul></nav>'
+                '<div class="sidebar">Trending now! Subscribe!</div>'
+                "<h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(
+                " &amp; more</p><footer>Copyright 2024 Example Corp</footer>"
+                "</body></html>"
+            ),
+        ),
+    )
+    return readability.apply(df).select("doc_id", "readability_text")
+
+
+_RHTML_SQL = (
+    "'<html><head><script>var x=1;</script></head><body>"
+    "<nav><ul><li>Home</li><li>About</li></ul></nav>"
+    '<div class="sidebar">Trending now! Subscribe!</div>'
+    "<h1>Doc ' || doc_id || '</h1><p>' || text || "
+    "' &amp; more</p><footer>Copyright 2024 Example Corp</footer>"
+    "</body></html>'"
 )
 
 _URLF_CFG = URLFilterConfig(
@@ -572,6 +607,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_neardup": (_q_embedding_neardup, similarity.oracle_sql_neardup_pairs(threshold=0.45)),
     "sentence_dedup": (_q_sentence_dedup, sentence_dedup.oracle_sql()),
     "extract_html": (_q_extract_html, extract.oracle_sql("documents", _HTML_SQL)),
+    "extract_readability": (
+        _q_extract_readability,
+        readability.oracle_sql("documents", _RHTML_SQL),
+    ),
     "url_filter": (_q_url_filter, _oracle_url_filter()),
     "sampler": (_q_sampler, "SELECT doc_id FROM (" + sampling.oracle_sql_sample("documents", 0.3, "doc_id", salt="s1") + ")"),
     "regex_filter": (_q_regex_filter, "SELECT doc_id FROM documents WHERE NOT regexp_matches(text, 'lineitem|window')"),
