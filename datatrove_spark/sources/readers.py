@@ -77,13 +77,24 @@ def read_ipc(
     path: str,
     column_map: Mapping[str, str] | None = None,
     limit: int | None = None,
+    max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Arrow IPC file — driver-side pyarrow read, Arrow-native conversion.
-    Suitable for side inputs (blocklists, eval sets); large corpora should
-    land as parquet."""
+    Suitable for side inputs (blocklists, eval sets); the size guard keeps
+    anyone from pointing it at a corpus — large data should land as parquet
+    or go through sources.hf_bridge.read_hf_saved (distributed IPC)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(
+            f"read_ipc is a DRIVER-side side-input reader; {path} is "
+            f"{size >> 20} MiB (> {max_bytes >> 20} MiB). Convert to parquet "
+            "or use hf_bridge.read_hf_saved for distributed IPC decode."
+        )
     with pa.memory_map(path) as source:
         table = ipc.open_file(source).read_all()
     df = spark.createDataFrame(table.to_pandas())
