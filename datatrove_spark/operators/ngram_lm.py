@@ -1,0 +1,180 @@
+"""KenLM-style n-gram LM perplexity scorer (bigram + stupid backoff).
+
+The north star calls for "a KenLM-style n-gram perplexity scorer" next to
+the unigram filter (reference: UnigramLogProbFilter, unigram_log_probs.py:
+62-79 — unigram only; CCNet/KenLM-style pipelines score perplexity under a
+higher-order LM). This engine's rendering is a bigram model with stupid
+backoff (Brants et al. 2007, "Large Language Models in Machine
+Translation": score(w|prev) = count(prev,w)/count(prev) if seen, else
+alpha * P_uni(w), alpha = 0.4) — the backoff scheme designed for exactly
+this distributed-count setting, deterministic and SQL-expressible, unlike
+KenLM's own Kneser-Ney binary.
+
+Determinism/scale contract (same discipline as unigram_logprob):
+- model tables are corpus-derived and CAPPED (top-N by count, full
+  tie-break) so the broadcast side is bounded at any corpus size; OOV
+  unigrams take ``unknown_freq``;
+- per-token log-probs quantize to integer micro-units and sum in int64 —
+  shuffle-order-free means;
+- token/bigram extraction is array-native (``transform`` with index +
+  ``get``): no window function, no per-doc shuffle — the only shuffles are
+  the two count groupBys, and scoring joins are broadcasts.
+
+Per-doc output: mean log P (natural log) and perplexity exp(-mean);
+keep iff mean > threshold.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datatrove_spark.functions import text as T
+
+NAME = "ngram_lm"
+
+
+@dataclass(frozen=True)
+class NgramLMConfig:
+    logprobs_threshold: float = -10.0
+    alpha: float = 0.4  # stupid-backoff discount (Brants et al. 2007, §4)
+    unknown_freq: float = 1e-9
+    max_vocab: int = 1_000_000
+    max_bigrams: int = 4_000_000
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word, prev) per token position — array-native, shuffle-free."""
+    ws = T.words(F.lower(F.col(text_col)))
+    entries = F.transform(
+        ws,
+        lambda w, i: F.struct(
+            w.alias("word"), F.when(i > 0, F.get(ws, i - 1)).alias("prev")
+        ),
+    )
+    return df.select(id_col, F.explode(entries).alias("e")).select(
+        id_col, F.col("e.word").alias("word"), F.col("e.prev").alias("prev")
+    )
+
+
+def model_tables(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: NgramLMConfig = NgramLMConfig()
+) -> tuple[DataFrame, DataFrame]:
+    """(unigram, bigram) count tables, deterministically capped.
+    orderBy().limit() plans as TakeOrderedAndProject — per-partition top-N,
+    no global sort shuffle."""
+    toks = _tokens(df, id_col, text_col)
+    uni = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(cfg.max_vocab)
+    )
+    bi = (
+        toks.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("prev"), F.asc("word"))
+        .limit(cfg.max_bigrams)
+    )
+    return uni, bi
+
+
+def apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: NgramLMConfig = NgramLMConfig(),
+) -> DataFrame:
+    uni, bi = model_tables(df, id_col, text_col, cfg)
+    total = uni.agg(F.sum("c").alias("t"))
+    toks = _tokens(df, id_col, text_col)
+    scored = (
+        toks.join(F.broadcast(uni.withColumnRenamed("c", "c_w")), "word", "left")
+        .join(
+            F.broadcast(uni.selectExpr("word AS prev", "c AS c_prev")), "prev", "left"
+        )
+        .join(F.broadcast(bi.withColumnRenamed("c", "c_bw")), ["prev", "word"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    p_uni: Column = F.coalesce(
+        F.col("c_w").cast("double") / F.col("t"), F.lit(cfg.unknown_freq)
+    )
+    p = (
+        F.when(
+            F.col("c_bw").isNotNull() & F.col("c_prev").isNotNull(),
+            F.col("c_bw").cast("double") / F.col("c_prev"),
+        )
+        .when(F.col("prev").isNull(), p_uni)  # document-initial token
+        .otherwise(F.lit(cfg.alpha) * p_uni)  # backoff
+    )
+    micro = F.round(F.log(p) * 1_000_000).cast("long")
+    per_doc = (
+        scored.groupBy(id_col)
+        .agg(F.sum(micro).alias("s"), F.count("*").alias("n"))
+        .select(
+            id_col,
+            F.round(F.col("s").cast("double") / 1_000_000 / F.col("n"), 4).alias(
+                "ngram_logprob"
+            ),
+        )
+    )
+    out = df.join(per_doc, id_col, "left").withColumn(
+        "ngram_logprob", F.coalesce(F.col("ngram_logprob"), F.lit(0.0))
+    )
+    keep = F.col("ngram_logprob") > cfg.logprobs_threshold
+    return (
+        out.withColumn("ngram_perplexity", F.round(F.exp(-F.col("ngram_logprob")), 4))
+        .withColumn(
+            f"{NAME}_reason",
+            F.when(~keep, "ngram_perplexity").otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(f"{NAME}_keep", keep)
+    )
+
+
+def oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: NgramLMConfig = NgramLMConfig(),
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, regexp_extract_all(lower({text_col}), '\\S+') AS ws FROM {table}
+), ex AS (
+  SELECT id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos, ws FROM base
+), toks AS (
+  SELECT id, word, CASE WHEN pos > 1 THEN ws[pos - 1] END AS prev FROM ex
+), uni AS (
+  SELECT word, count(*) AS c FROM toks GROUP BY 1
+  ORDER BY c DESC, word ASC LIMIT {cfg.max_vocab}
+), tot AS (
+  SELECT sum(c) AS t FROM uni
+), bi AS (
+  SELECT prev, word, count(*) AS c FROM toks WHERE prev IS NOT NULL GROUP BY 1, 2
+  ORDER BY c DESC, prev ASC, word ASC LIMIT {cfg.max_bigrams}
+), scored AS (
+  SELECT t.id,
+    CASE
+      WHEN b.c IS NOT NULL AND up.c IS NOT NULL THEN b.c::DOUBLE / up.c
+      WHEN t.prev IS NULL THEN coalesce(uw.c::DOUBLE / (SELECT t FROM tot), {cfg.unknown_freq})
+      ELSE {cfg.alpha} * coalesce(uw.c::DOUBLE / (SELECT t FROM tot), {cfg.unknown_freq})
+    END AS p
+  FROM toks t
+  LEFT JOIN uni uw ON t.word = uw.word
+  LEFT JOIN uni up ON t.prev = up.word
+  LEFT JOIN bi b ON t.prev = b.prev AND t.word = b.word
+), folded AS (
+  SELECT id,
+    round(sum(round(ln(p) * 1000000)::BIGINT)::DOUBLE / 1000000 / count(*), 4) AS ngram_logprob
+  FROM scored GROUP BY 1
+)
+SELECT d.{id_col},
+  coalesce(f.ngram_logprob, 0.0) AS ngram_logprob,
+  round(exp(-coalesce(f.ngram_logprob, 0.0)), 4) AS ngram_perplexity,
+  (coalesce(f.ngram_logprob, 0.0) > {cfg.logprobs_threshold}) AS {NAME}_keep
+FROM {table} d LEFT JOIN folded f ON d.{id_col} = f.id
+""".strip()

@@ -144,6 +144,93 @@ def run_pipeline(
     return metrics
 
 
+def shard_files(paths: Sequence[str], world_size: int) -> list[list[str]]:
+    """Deterministic file striping — the reference's ``get_shard``
+    (io.py:160-173): sorted files, rank r takes [r::world_size]."""
+    s = sorted(paths)
+    return [s[r::world_size] for r in range(world_size)]
+
+
+def run_pipeline_sharded(
+    spark: SparkSession,
+    input_files: Sequence[str],
+    stages: Sequence[Stage],
+    out_dir: str,
+    world_size: int = 8,
+    resume: bool = True,
+    reader: Callable[[SparkSession, list[str]], DataFrame] | None = None,
+) -> dict:
+    """Shard-granular resumable execution — the exact-resume contract the
+    north rule asks for, rendered as the reference's per-rank completion
+    markers (executor/base.py:106-127):
+
+    - input files stripe deterministically into ``world_size`` shards;
+    - each shard materializes independently under ``{out_dir}/shard-R``
+      (data + _SUCCESS + metrics.json) — a crash mid-run loses at most the
+      in-flight shard;
+    - a re-run skips every completed shard (checked via its _SUCCESS marker
+      AND its metrics file), recomputing only what is missing, then merges
+      per-shard metrics into the job-level metrics.json with per-shard
+      lineage preserved.
+
+    On a real cluster each shard is simply a bounded sub-job of the same
+    application (sequential here; shards are embarrassingly parallel across
+    applications since they share nothing). The Iceberg rendering replaces
+    the _SUCCESS marker with a snapshot-per-shard commit check.
+    """
+    read = reader or (lambda s, files: s.read.parquet(*files))
+    shard_metrics: list[dict] = []
+    for rank, group in enumerate(shard_files(input_files, world_size)):
+        shard_dir = os.path.join(out_dir, f"shard-{rank:05d}")
+        mpath = os.path.join(shard_dir, "metrics.json")
+        if resume and _done(os.path.join(shard_dir, "data")) and os.path.exists(mpath):
+            with open(mpath) as f:
+                shard_metrics.append(json.load(f))
+            continue
+        if not group:
+            shard_metrics.append({"total": 0, "kept": 0, "dropped_by_reason": {},
+                                  "stages": [st.name for st in stages], "partitions": []})
+            continue
+        shard_metrics.append(run_pipeline(spark, read(spark, group), stages, shard_dir, resume=resume))
+    merged_reasons: dict[str, int] = {}
+    for m in shard_metrics:
+        for k, v in m["dropped_by_reason"].items():
+            merged_reasons[k] = merged_reasons.get(k, 0) + v
+    metrics = {
+        "total": sum(m["total"] for m in shard_metrics),
+        "kept": sum(m["kept"] for m in shard_metrics),
+        "dropped_by_reason": dict(sorted(merged_reasons.items())),
+        "stages": [st.name for st in stages],
+        "world_size": world_size,
+        "shards": [
+            {"rank": r, "total": m["total"], "kept": m["kept"], "partitions": m["partitions"]}
+            for r, m in enumerate(shard_metrics)
+        ],
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1, sort_keys=True)
+    return metrics
+
+
+def kept_sharded(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Partition-pruned view over every shard's kept documents. Shard data
+    dirs are passed as separate roots (same keep= layout each) — a single
+    glob would make partition discovery trip over the intermediate ``data``
+    directory."""
+    from functools import reduce
+
+    roots = sorted(
+        os.path.join(out_dir, d, "data")
+        for d in os.listdir(out_dir)
+        if d.startswith("shard-") and _done(os.path.join(out_dir, d, "data"))
+    )
+    # one read per root, unioned: multi-root partition discovery cannot agree
+    # on a base path across sibling shard dirs, and per-scan reads keep the
+    # keep= pruning pushed into every shard's file listing
+    df = reduce(DataFrame.unionByName, (spark.read.parquet(r) for r in roots))
+    return df.withColumn("keep", F.col("keep").cast("boolean")).filter(F.col("keep"))
+
+
 def _read(spark: SparkSession, data_dir: str) -> DataFrame:
     # partition-column inference yields STRING for booleans; filtering on the
     # raw partition value keeps partition pruning intact, then we restore the

@@ -35,6 +35,7 @@ from datatrove_spark.operators import (
     host_stats,
     langid,
     minhash,
+    ngram_lm,
     pii,
     quality_fused,
     readability,
@@ -489,6 +490,11 @@ FROM ({inner})
 """.strip()
 
 
+def _q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ngram_lm.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "ngram_logprob", "ngram_perplexity", "ngram_lm_keep")
+
+
 def _q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The array-valued API lives in operators/tokenizer.py; the registry
     # projection renders it as a comma-joined STRING because the driver's
@@ -590,6 +596,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "langid": (_q_langid, langid.oracle_sql()),
     "fasttext_filter": (_q_fasttext_filter, _oracle_fasttext_filter()),
     "unigram_logprob": (_q_unigram_logprob, unigram_logprob.oracle_sql()),
+    "ngram_perplexity": (_q_ngram_perplexity, ngram_lm.oracle_sql()),
     "token_count": (_q_token_count, token_stats.oracle_sql_doc_tokens()),
     "token_stats_by_lang": (_q_token_stats_by_lang, token_stats.oracle_sql_group_stats()),
     "length_histogram": (_q_length_histogram, token_stats.oracle_sql_length_histogram()),

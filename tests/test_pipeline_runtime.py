@@ -72,3 +72,44 @@ def test_partition_pruning_on_kept_view(spark, tmp_path):
     plan = kept(spark, out)._jdf.queryExecution().executedPlan().toString()
     # the keep=true filter must reach the scan as a partition filter
     assert "PartitionFilters" in plan
+
+
+def test_sharded_resume_exact(spark, tmp_path):
+    """Shard-granular resume: completed shards are not recomputed (byte-level
+    untouched), only the interrupted shard re-runs, and merged metrics equal
+    a fresh uninterrupted run."""
+    import glob
+    import shutil
+
+    from datatrove_spark.plans.pipeline import kept_sharded, run_pipeline_sharded, shard_files
+
+    src = str(tmp_path / "input")
+    generate_pages(spark, 600).repartition(6).write.parquet(src)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    assert len(files) >= 3
+    # deterministic striping contract (reference io.py:160-173)
+    assert shard_files(files, 3) == [files[0::3], files[1::3], files[2::3]]
+
+    out_full = str(tmp_path / "full")
+    m_full = run_pipeline_sharded(spark, files, STAGES, out_full, world_size=3)
+    assert m_full["total"] == 600
+    assert m_full["kept"] == kept_sharded(spark, out_full).count()
+    assert len(m_full["shards"]) == 3 and all(s["partitions"] for s in m_full["shards"])
+
+    # simulate an interrupted run: shard 1 crashed mid-write (no _SUCCESS)
+    out = str(tmp_path / "interrupted")
+    run_pipeline_sharded(spark, files, STAGES, out, world_size=3)
+    victim = os.path.join(out, "shard-00001")
+    os.remove(os.path.join(victim, "data", "_SUCCESS"))
+    os.remove(os.path.join(victim, "metrics.json"))
+    survivors = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "shard-0000[02]", "data", "keep=*", "*.parquet"))
+    }
+    assert survivors
+
+    m2 = run_pipeline_sharded(spark, files, STAGES, out, world_size=3)
+    assert m2 == m_full  # exact resume: same merged metrics
+    for p, ts in survivors.items():
+        assert os.path.getmtime(p) == ts, f"completed shard recomputed: {p}"
+    assert os.path.exists(os.path.join(victim, "data", "_SUCCESS"))

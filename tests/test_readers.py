@@ -70,3 +70,35 @@ def test_ipc_reader(spark, tmp_path):
         w.write_table(table)
     df = readers.read_ipc(spark, path)
     assert sorted(map(tuple, df.collect())) == [("alpha", 1.5), ("beta", 2.5)]
+
+
+def test_table_refs(spark, tmp_path):
+    """Table-reference dispatch: parquet path round-trips; iceberg refs are
+    jar-gated with an actionable error (or work, if a jar is present)."""
+    from datatrove_spark.sources import tables
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    ref = f"parquet:{tmp_path}/t"
+    tables.write_table(df, ref, partition_by=["v"])
+    back = tables.read_table(spark, ref, columns=["id"])
+    assert back.columns == ["id"]
+    assert sorted(r.id for r in tables.read_table(spark, ref).collect()) == [1, 2]
+
+    # session-catalog tables work without any extra jar (unique name: a
+    # previous session's managed-table location would otherwise collide)
+    import uuid
+
+    tname = f"tmp_tables_{uuid.uuid4().hex[:12]}"
+    df.write.saveAsTable(tname)
+    try:
+        assert tables.read_table(spark, f"table:{tname}").count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+    if not tables.iceberg_available(spark):
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            tables.read_table(spark, "iceberg:cat.db.pages")
+    else:  # pragma: no cover — only with the runtime jar installed
+        assert tables.read_table(spark, "iceberg:cat.db.pages") is not None
