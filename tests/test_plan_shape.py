@@ -121,3 +121,26 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ngram_lm_broadcast_scoring_joins(spark, pages):
+    """The LM scoring joins (unigram x2, bigram) must broadcast — the corpus
+    side never shuffles on a word key — and the capped model tables must
+    plan as TakeOrderedAndProject (per-partition top-N), not a global sort."""
+    from datatrove_spark.operators import ngram_lm
+
+    # simple mode: formatted prints every operator twice (tree + detail)
+    p = plan_of(ngram_lm.apply(pages, id_col="doc_id", text_col="text"), "simple")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in p
+    # the only sort-merge join is the final per-doc result attach on the id
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_readability_extract_is_projection_only(pages):
+    """Native readability extraction is a pure narrow map: no Exchange."""
+    from datatrove_spark.operators import readability
+
+    df = pages.withColumn("html", F.col("text").cast("binary"))
+    p = plan_of(readability.apply(df))
+    assert "Exchange" not in p
