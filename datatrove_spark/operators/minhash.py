@@ -197,6 +197,61 @@ def pairs(
     return edges.distinct()
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over the LSH candidate pairs: (a, b, jaccard,
+    is_dup). Completes the dedup taxonomy — minhash banding *estimates*
+    Jaccard; this verifies candidates with the true shingle-set
+    intersection/union (array_intersect/array_union, JVM-native).
+
+    Scale shape: the candidate pair set is tiny relative to the corpus, so
+    it BROADCASTS into both joins — the corpus-side shingle arrays never
+    shuffle; only candidate docs' arrays materialize into the join."""
+    cand = pairs(df, id_col, text_col, cfg)
+    sh = df.select(
+        F.col(id_col).alias("__id"), _shingle_hashes(F.col(text_col), cfg).alias("sh")
+    ).filter(F.size("sh") > 0)
+    left = sh.join(F.broadcast(cand), sh.__id == cand.a).select("a", "b", F.col("sh").alias("sh_a"))
+    both = sh.join(F.broadcast(left), sh.__id == left.b).select(
+        "a", "b", "sh_a", F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / uni
+    return both.select(
+        "a", "b", F.round(jac, 6).alias("jaccard"), (jac >= threshold).alias("is_dup")
+    )
+
+
+def oracle_sql_jaccard_pairs(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+    threshold: float = 0.8,
+) -> str:
+    prs = oracle_sql_pairs(table, id_col, text_col, cfg)
+    sh = _sql_shingle_hashes(text_col, cfg)
+    return f"""
+WITH prs AS ({prs}),
+sh AS (
+  SELECT {id_col} AS id, {sh} AS sh FROM {table}
+)
+SELECT p.a, p.b,
+  round(len(list_intersect(x.sh, y.sh))::DOUBLE
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard,
+  (len(list_intersect(x.sh, y.sh))::DOUBLE
+        / len(list_distinct(list_concat(x.sh, y.sh))) >= {threshold}) AS is_dup
+FROM prs p JOIN sh x ON p.a = x.id JOIN sh y ON p.b = y.id
+WHERE len(x.sh) > 0 AND len(y.sh) > 0
+""".strip()
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 20, driver_threshold: int = 5_000_000
 ) -> DataFrame:

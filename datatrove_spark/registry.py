@@ -495,6 +495,10 @@ def _q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "ngram_logprob", "ngram_perplexity", "ngram_lm_keep")
 
 
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
 def _q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The array-valued API lives in operators/tokenizer.py; the registry
     # projection renders it as a comma-joined STRING because the driver's
@@ -605,6 +609,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (_q_pii_scrub, pii.oracle_sql(text_expr=_PII_TEXT_SQL)),
     "minhash_signatures": (_q_minhash_signatures, minhash.oracle_sql_signatures()),
     "minhash_pairs": (_q_minhash_pairs, minhash.oracle_sql_pairs()),
+    "jaccard_pairs": (_q_jaccard_pairs, minhash.oracle_sql_jaccard_pairs()),
     "minhash_dedup": (_q_minhash_dedup, minhash.oracle_sql_dedup()),
     "simhash_fingerprints": (_q_simhash_fingerprints, simhash.oracle_sql_fingerprints()),
     "simhash_dedup": (_q_simhash_dedup, simhash.oracle_sql_dedup()),

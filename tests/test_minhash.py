@@ -98,3 +98,15 @@ def test_oracle_parity_on_crafted(spark, corpus, tmp_path):
     )
     d_dedup = sorted(tuple(r) for r in con.execute(minhash.oracle_sql_dedup()).fetchall())
     assert s_dedup == d_dedup
+
+
+def test_jaccard_pairs_exact_verification(spark, corpus):
+    """Exact n-gram Jaccard over the LSH candidates: near-identical docs
+    score close to 1 and are flagged; jaccard is a true set ratio."""
+    out = minhash.jaccard_pairs(corpus, threshold=0.5).collect()
+    assert out, "candidate pairs expected on the crafted corpus"
+    for r in out:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.is_dup == (r.jaccard >= 0.5)
+    # the corpus's exact-duplicate pair must be jaccard 1.0
+    assert any(r.jaccard == 1.0 for r in out)
