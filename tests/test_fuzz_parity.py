@@ -147,3 +147,31 @@ def test_null_text_rows_survive_pipeline(spark):
     assert simhash.fingerprints(df).filter("doc_id != 1").count() == 0
     scrubbed = {r.doc_id: r.pii_text for r in pii.apply(df).collect()}
     assert scrubbed[0] == ""
+
+
+def test_ngram_backend_equivalence():
+    """The numpy and Counter n-gram backends must agree on every doc — the
+    m<100 dispatch in gopher_repetition must be invisible."""
+    import random
+
+    from datatrove_spark.config import GopherRepetitionConfig
+    from datatrove_spark.reference_impl.filters import (
+        _ngram_checks_counter,
+        _ngram_checks_np,
+        words,
+    )
+
+    rng = random.Random(123)
+    vocab = ["w%d" % i for i in range(12)] + ["the", "cat", "sat", "dog", "a"]
+    cfg = GopherRepetitionConfig()
+    for trial in range(400):
+        n = rng.randint(2, 260)
+        ws = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.4:  # inject repetition runs
+            seg = ws[: rng.randint(2, 6)]
+            ws = ws + seg * rng.randint(2, 5)
+        text = " ".join(ws)
+        ws2 = words(text)
+        a = _ngram_checks_np(ws2, len(text), cfg)
+        b = _ngram_checks_counter(ws2, len(text), cfg)
+        assert a == b, f"trial {trial}: np={a} counter={b} text={text[:120]}"
