@@ -14,10 +14,12 @@ first-class engine capability here because a production crawl is a stream:
 - the parquet sink + checkpointLocation gives exactly-once output — the
   streaming upgrade of the batch runner's _SUCCESS-marker resume.
 
-Dedup operators are deliberately NOT streamed: cross-document joins over
-an unbounded corpus need retraction or TTL state; the engine's contract is
-quality/scrub/stats in the stream, dedup in periodic batch compaction
-(the lambda shape the reference's multi-job dedup also implies).
+Dedup in the stream is exactly the bounded-state form Spark provides:
+``dedup_stream`` drops exact duplicates whose earlier copy arrived within
+the watermark horizon (dropDuplicatesWithinWatermark — per-key TTL state,
+evicted as event time passes). Corpus-WIDE near-dup (minhash/simhash
+joins over the full history) stays in periodic batch compaction — the
+lambda shape the reference's multi-job dedup also implies.
 """
 
 from __future__ import annotations
@@ -60,6 +62,26 @@ def quality_stream(stream_df: DataFrame, stages: Sequence[Stage]) -> DataFrame:
     """The batch compositor applied to a streaming DataFrame — identical
     plan, incremental execution."""
     return compose(stream_df, stages)
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    ts_col: str = "warc_ts",
+    watermark: str = "30 minutes",
+    key_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state: a document is
+    dropped iff an identical key was seen within ``watermark`` of event
+    time; state evicts as the watermark advances, so memory is bounded by
+    arrival rate x horizon regardless of stream length. The key is the
+    engine's h60 over the key columns (16 bytes/doc of state payload, not
+    the text)."""
+    from datatrove_spark.functions.hashing import hash60
+
+    d = stream_df.withWatermark(ts_col, watermark).withColumn(
+        "__key", hash60(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
+    )
+    return d.dropDuplicatesWithinWatermark(["__key"]).drop("__key")
 
 
 def windowed_metrics(

@@ -62,3 +62,24 @@ def test_windowed_metrics(spark, pages_dir, tmp_path):
     assert total == 300
     # windows are 6h-aligned and within the generator's 30-day range
     assert all(r.window_start.hour % 6 == 0 for r in rows)
+
+
+def test_stream_dedup_within_watermark(spark, pages_dir, tmp_path):
+    """Exact duplicates arriving within the watermark horizon are dropped;
+    result matches batch dropDuplicates on the same key."""
+    dup_dir = str(tmp_path / "dup_in")
+    base = spark.read.parquet(pages_dir)
+    # duplicate every page (same text, same event time) across two files
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = qs.read_pages_stream(spark, dup_dir)
+    q = qs.write_stream(qs.dedup_stream(stream).select("url", "text"), out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = base.select("url", "text").dropDuplicates(["text"])
+    assert got.count() == want.count()
+    assert got.select("text").distinct().count() == got.count()
