@@ -112,6 +112,69 @@ def write_tokenized(
     df.select(id_col, text_col).rdd.mapPartitionsWithIndex(write_partition).count()
 
 
+def context_shuffle(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    window_size: int = 2048 + 1,
+    seed: str = "ctx",
+    token_size: int = 2,
+) -> None:
+    """Distributed context-window shuffle over .ds shards — the
+    DocumentTokenizerContextShuffler analog (reference: tokens/
+    context_shuffler.py:13,55-86: per-file mmap + numpy RNG permutation of
+    window_size-token windows, trailing partial window dropped).
+
+    Spark rendering: shards land as binaryFile rows, each explodes into
+    window_size*token_size-byte slices JVM-side (substring on BINARY — no
+    Python in the split), and placement is the engine's data-keyed
+    deterministic shuffle (h60(seed|shard|window) range partitioning,
+    matching ``shuffled``'s documented RNG deviation): global across
+    shards rather than within one file, order a pure function of
+    (seed, data). Output shards are .ds files whose index records one doc
+    end per window."""
+    from pyspark.sql import functions as F
+
+    from datatrove_spark.functions.hashing import hash60
+
+    wbytes = window_size * token_size
+    files = spark.read.format("binaryFile").load(os.path.join(in_dir, "*.ds"))
+    n_win = F.floor(F.length("content") / wbytes).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.substring(F.col("content"), (i * wbytes + 1).cast("int"), wbytes),
+    )
+    exploded = files.select(
+        F.col("path"), F.posexplode(windows).alias("widx", "win")
+    ).filter(n_win > 0)
+    key = F.pmod(
+        hash60(F.concat(F.lit(seed), F.col("path"), F.col("widx").cast("string"))),
+        F.lit(1 << 60),
+    )
+    placed = (
+        exploded.withColumn("__k", key)
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "__k")
+        .sortWithinPartitions("__k")
+        .select("win")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(pid: int, rows):
+        path = os.path.join(out_dir, f"shard_{pid:05d}.ds")
+        ends: list[int] = []
+        written = 0
+        with open(path, "wb") as f:
+            for row in rows:
+                f.write(row["win"])
+                written += window_size
+                ends.append(written)
+        with open(path + ".index", "wb") as f:
+            f.write(struct.pack(f"<{len(ends)}Q", *ends))
+        return []
+
+    placed.rdd.mapPartitionsWithIndex(write_partition).count()
+
+
 def read_tokenized(out_dir: str, token_size: int = 2) -> list[list[int]]:
     """Driver-side verification reader: list of per-doc id lists across all
     shards (shard order = filename order)."""

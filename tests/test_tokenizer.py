@@ -53,3 +53,50 @@ def test_shuffle_is_deterministic_across_parallelism(spark, docs):
     b = [r.doc_id for r in tokenizer.shuffled(docs, partitions=5).select("doc_id").collect()]
     assert a == b  # range partitioning + in-partition sort = one global order
     assert a != sorted(a)  # and it is actually shuffled
+
+
+def test_context_shuffle(spark, tmp_path):
+    """Windows are preserved as a multiset, resized to exactly window_size
+    tokens, deterministically ordered by (seed, data), and reordered
+    relative to the input stream; trailing partial windows drop (reference
+    context_shuffler.py:72 nr_windows = total_len // window_size)."""
+    from datatrove_spark.operators import tokenizer
+
+    docs = [(i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(40))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+    src = str(tmp_path / "ds_in")
+    tokenizer.write_tokenized(df, src)
+
+    W = 7
+    out1 = str(tmp_path / "ds_out1")
+    tokenizer.context_shuffle(spark, src, out1, window_size=W)
+
+    def windows_of(d):
+        flat = [t for doc in tokenizer.read_tokenized(d) for t in doc]
+        return flat
+
+    # input windows: per input shard, chunk its flattened stream
+    import os, struct
+    in_wins = []
+    for name in sorted(os.listdir(src)):
+        if not name.endswith(".ds"):
+            continue
+        with open(os.path.join(src, name), "rb") as f:
+            data = f.read()
+        ids = struct.unpack(f"<{len(data) // 2}H", data)
+        for k in range(len(ids) // W):
+            in_wins.append(tuple(ids[k * W : (k + 1) * W]))
+
+    out_docs = tokenizer.read_tokenized(out1)
+    assert all(len(d) == W for d in out_docs)
+    assert sorted(tuple(d) for d in out_docs) == sorted(in_wins)
+    assert [tuple(d) for d in out_docs] != in_wins  # actually reordered
+
+    # determinism: same seed -> identical output stream
+    out2 = str(tmp_path / "ds_out2")
+    tokenizer.context_shuffle(spark, src, out2, window_size=W)
+    assert windows_of(out1) == windows_of(out2)
+    # different seed -> different order
+    out3 = str(tmp_path / "ds_out3")
+    tokenizer.context_shuffle(spark, src, out3, window_size=W, seed="other")
+    assert windows_of(out1) != windows_of(out3)
