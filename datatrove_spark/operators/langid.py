@@ -10,8 +10,12 @@ schema, gated behind an import-try).
 
 Semantics:
 - score(lang) = |{w in words(lower(text)) : w in profile(lang)}| / n_words
-- han-script override: if CJK chars / total chars > 0.3 -> language 'zh',
-  score = that fraction (stopword profiles cannot see unsegmented han text)
+  over 21 function-word profiles (Latin/Cyrillic/Arabic/Devanagari spaced
+  languages)
+- script-fraction overrides for unsegmented or suffixing scripts where
+  standalone function words carry no signal: thai -> 'th', hangul -> 'ko',
+  kana -> 'ja' (checked before han — Japanese mixes kana and han), han ->
+  'zh'; score = the script fraction
 - language  = argmax score (tie -> lexicographically largest, via max on
   (score, lang) pairs — identical rule in Spark and SQL); no hits -> 'und'
 - keep iff language in cfg.languages and score >= cfg.threshold
@@ -46,10 +50,45 @@ PROFILES: dict[str, tuple[str, ...]] = {
            "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "dos"),
     "nl": ("de", "en", "van", "het", "een", "in", "is", "dat", "op", "te",
            "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als", "dan"),
+    "ru": ("и", "в", "не", "на", "что", "с", "он", "как", "это", "по",
+           "но", "его", "из", "от", "она", "так", "же", "для", "был", "мы"),
+    "pl": ("i", "w", "nie", "na", "się", "że", "do", "jest", "z", "jak",
+           "po", "ale", "co", "tak", "za", "od", "przez", "ich", "tego", "być"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+           "den", "till", "inte", "om", "han", "var", "jag", "men", "ett", "har"),
+    "da": ("og", "at", "det", "er", "til", "en", "den", "af", "for", "med",
+           "på", "som", "der", "ikke", "et", "har", "de", "jeg", "var", "men"),
+    "no": ("og", "det", "er", "som", "en", "på", "til", "av", "ikke", "for",
+           "med", "han", "om", "et", "var", "seg", "men", "har", "jeg", "vi"),
+    "fi": ("ja", "on", "ei", "että", "oli", "hän", "se", "mutta", "kun", "niin",
+           "myös", "joka", "ovat", "sen", "tai", "jos", "mitä", "ole", "kuin", "vain"),
+    "tr": ("bir", "ve", "bu", "da", "de", "için", "ile", "ne", "gibi", "daha",
+           "çok", "ama", "var", "en", "olarak", "kadar", "sonra", "her", "mi", "ki"),
+    "cs": ("a", "se", "na", "je", "že", "v", "do", "to", "jako", "ale",
+           "pro", "za", "by", "jeho", "nebo", "podle", "jen", "byl", "tak", "které"),
+    "hu": ("a", "az", "és", "hogy", "nem", "is", "egy", "de", "meg", "volt",
+           "már", "csak", "el", "vagy", "ha", "mint", "még", "ki", "van", "ezt"),
+    "ro": ("și", "de", "în", "la", "cu", "din", "este", "un", "pe", "care",
+           "nu", "pentru", "mai", "sau", "sunt", "dar", "fost", "după", "când", "fi"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari",
+           "dalam", "akan", "pada", "juga", "ke", "karena", "ada", "mereka", "sudah", "saya", "bisa"),
+    "vi": ("và", "của", "là", "có", "trong", "được", "các", "một", "không",
+           "những", "người", "này", "cho", "với", "để", "đã", "khi", "cũng", "như", "từ"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "كان", "التي",
+           "الذي", "ما", "لا", "هو", "أو", "كل", "بين", "بعد", "قد", "ذلك"),
+    "hi": ("के", "में", "की", "है", "को", "से", "का", "और", "पर", "यह",
+           "एक", "हैं", "कि", "नहीं", "भी", "था", "लिए", "ने", "हो", "इस"),
 }
 
 HAN_RE = "[一-鿿]"
+# script-fraction overrides for unsegmented / suffixing scripts where
+# standalone function-word profiles cannot see the signal; kana is checked
+# BEFORE han because Japanese text mixes both scripts
+KANA_RE = "[ぁ-ゟ゠-ヿ]"
+HANGUL_RE = "[가-힣]"
+THAI_RE = "[ก-๛]"
 HAN_FRAC_THRESHOLD = 0.3
+SCRIPT_FRAC_THRESHOLD = 0.3
 
 
 def detect(text_col: Column, cfg: LangIdConfig = LangIdConfig()) -> Column:
@@ -66,10 +105,26 @@ def detect(text_col: Column, cfg: LangIdConfig = LangIdConfig()) -> Column:
         ]
     )
     best = F.array_max(pairs)
-    han_frac = F.size(F.regexp_extract_all(text_col, F.lit(HAN_RE), 0)).cast("double") / F.length(text_col)
-    score = F.when(han_frac > HAN_FRAC_THRESHOLD, han_frac).otherwise(best["score"])
+
+    def frac(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(text_col, F.lit(pattern), 0)).cast(
+            "double"
+        ) / F.length(text_col)
+
+    thai_f, hangul_f, kana_f, han_f = frac(THAI_RE), frac(HANGUL_RE), frac(KANA_RE), frac(HAN_RE)
+    t = SCRIPT_FRAC_THRESHOLD
+    score = (
+        F.when(thai_f > t, thai_f)
+        .when(hangul_f > t, hangul_f)
+        .when(kana_f > t, kana_f)
+        .when(han_f > t, han_f)
+        .otherwise(best["score"])
+    )
     language = (
-        F.when(han_frac > HAN_FRAC_THRESHOLD, "zh")
+        F.when(thai_f > t, "th")
+        .when(hangul_f > t, "ko")
+        .when(kana_f > t, "ja")
+        .when(han_f > t, "zh")
         .when(best["score"] > 0, best["language"])
         .otherwise("und")
     )
@@ -97,22 +152,37 @@ def oracle_sql(
         for lang, prof in sorted(PROFILES.items())
     )
     langs = ", ".join(f"'{lg}'" for lg in cfg.languages)
+    t = SCRIPT_FRAC_THRESHOLD
+
+    def sql_frac(pattern: str) -> str:
+        return f"len(regexp_extract_all({text_col}, '{pattern}'))::DOUBLE / nullif(len({text_col}), 0)"
+
     return f"""
 WITH base AS (
   SELECT {id_col} AS id,
          regexp_extract_all(lower({text_col}), '\\S+') AS ws,
          len(regexp_extract_all(lower({text_col}), '\\S+')) AS n_words,
-         len(regexp_extract_all({text_col}, '{HAN_RE}'))::DOUBLE / nullif(len({text_col}), 0) AS han_frac
+         {sql_frac(THAI_RE)} AS thai_f,
+         {sql_frac(HANGUL_RE)} AS hangul_f,
+         {sql_frac(KANA_RE)} AS kana_f,
+         {sql_frac(HAN_RE)} AS han_f
   FROM {table}
 ), scored AS (
-  SELECT id, han_frac, list_max([{pair_exprs}]) AS best
+  SELECT id, thai_f, hangul_f, kana_f, han_f, list_max([{pair_exprs}]) AS best
   FROM base
 ), res AS (
   SELECT id,
-    CASE WHEN han_frac > {HAN_FRAC_THRESHOLD} THEN 'zh'
+    CASE WHEN thai_f > {t} THEN 'th'
+         WHEN hangul_f > {t} THEN 'ko'
+         WHEN kana_f > {t} THEN 'ja'
+         WHEN han_f > {t} THEN 'zh'
          WHEN best['score'] > 0 THEN best['language']
          ELSE 'und' END AS language,
-    round(CASE WHEN han_frac > {HAN_FRAC_THRESHOLD} THEN han_frac ELSE best['score'] END, 6) AS language_score
+    round(CASE WHEN thai_f > {t} THEN thai_f
+               WHEN hangul_f > {t} THEN hangul_f
+               WHEN kana_f > {t} THEN kana_f
+               WHEN han_f > {t} THEN han_f
+               ELSE best['score'] END, 6) AS language_score
   FROM scored
 )
 SELECT id AS {id_col}, language, language_score,

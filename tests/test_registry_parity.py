@@ -75,3 +75,44 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries()) >= set(e.oracle_sql())
+
+
+LANGID_DOCS = [
+    (0, "the cat was on the mat and it was the best of days for all of the town"),
+    (1, "der hund und die katze sind mit dem kind auf der wiese und das ist auch gut"),
+    (2, "и он сказал что это было на самом деле не так как мы думали но для нас"),
+    (3, "yang penting adalah bahwa mereka tidak akan pergi dari tempat ini dengan cepat"),
+    (4, "هذا النص في اللغة العربية و هو من أجل أن يكون على صلة مع كل ما بعد ذلك"),
+    (5, "यह एक हिंदी वाक्य है और इस में के की से का और पर जैसे शब्द हैं"),
+    (6, "これはにほんごのぶんしょうです、ひらがながたくさんあります"),
+    (7, "한국어 문장입니다 그리고 한글이 많이 있습니다"),
+    (8, "ประโยคภาษาไทยไม่มีช่องว่างระหว่างคำ"),
+    (9, "这是一个中文句子没有空格"),
+    (10, "zqx wvu kjh"),  # no profile hits -> und
+]
+
+LANGID_WANT = {0: "en", 1: "de", 2: "ru", 3: "id", 4: "ar", 5: "hi",
+               6: "ja", 7: "ko", 8: "th", 9: "zh", 10: "und"}
+
+
+def test_langid_wide_coverage(spark, duck_small):
+    """21 function-word profiles + script overrides classify crafted docs,
+    and Spark matches the DuckDB oracle on them."""
+    from datatrove_spark.operators import langid
+
+    df = spark.createDataFrame(LANGID_DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.language for r in langid.apply(df).collect()}
+    assert got == LANGID_WANT
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in LANGID_DOCS:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    s = sorted(
+        tuple(r)
+        for r in langid.apply(df).select("doc_id", "language", "language_score", "langid_keep").collect()
+    )
+    d = sorted(tuple(r) for r in con.execute(langid.oracle_sql()).fetchall())
+    assert s == d
