@@ -55,6 +55,9 @@ class _Stub:
     def __getattr__(self, item):
         return _Stub(f"{self._name}.{item}")
 
+    def __getitem__(self, item):
+        return _Stub(f"{self._name}[{item!r}]")
+
     def __repr__(self):
         return f"<stub {self._name}>"
 
@@ -68,7 +71,13 @@ class _StubMeta(type):
 
 def _stub_class(name: str):
     return _StubMeta(
-        name, (), {"__init__": lambda self, *a, **k: None, "__getattr__": lambda self, i: _Stub(i)}
+        name,
+        (),
+        {
+            "__init__": lambda self, *a, **k: None,
+            "__getattr__": lambda self, i: _Stub(i),
+            "__getitem__": lambda self, i: _Stub(f"[{i!r}]"),
+        },
     )
 
 

@@ -22,11 +22,13 @@ from pyspark.sql import functions as F
 
 from datatrove_spark.config import C4BadWordsConfig, URLFilterConfig
 from datatrove_spark.operators import (
+    bloom_dedup,
     c4_badwords,
     c4_paragraphs,
     c4_quality,
     decont,
     exact_dedup,
+    exact_substrings,
     extract,
     fineweb_quality,
     formatters,
@@ -191,6 +193,16 @@ def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = exact_dedup.apply(load(spark, sf_dir, "documents"))
     return df.select("doc_id", "dup_of", "exact_dedup_keep")
+
+
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = bloom_dedup.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "bloom_dup_frac", "bloom_dedup_keep")
+
+
+def _q_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = exact_substrings.apply(load(spark, sf_dir, "documents"), length=20)
+    return df.select("doc_id", "n_words", "n_removed", "es_text")
 
 
 # synthetic URL over the documents table: 20 sources x 7 slots -> ~3.5
@@ -605,6 +617,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_stats_by_lang": (_q_token_stats_by_lang, token_stats.oracle_sql_group_stats()),
     "length_histogram": (_q_length_histogram, token_stats.oracle_sql_length_histogram()),
     "exact_dedup": (_q_exact_dedup, exact_dedup.oracle_sql()),
+    "bloom_dedup": (_q_bloom_dedup, bloom_dedup.oracle_sql()),
+    "exact_substrings": (_q_exact_substrings, exact_substrings.oracle_sql(length=20)),
     "url_dedup": (_q_url_dedup, _oracle_url_dedup()),
     "pii_scrub": (_q_pii_scrub, pii.oracle_sql(text_expr=_PII_TEXT_SQL)),
     "minhash_signatures": (_q_minhash_signatures, minhash.oracle_sql_signatures()),
