@@ -162,6 +162,47 @@ class FolderDataset:
         return self.lens[-1] if self.lens else 0
 
 
+def check_dataset(
+    folder: str, token_size: int = 2, eos_token_id: int | None = None
+) -> dict:
+    """Validate tokenizer-sink output — the reference's
+    ``tools/check_dataset.py`` (:56-98): every ``.ds`` has a matching
+    ``.ds.index`` (and ``.ds.loss`` when any exists), per-document reads
+    driven by doc_ends exhaust each shard exactly, the loss companion holds
+    one byte per token, and (when ``eos_token_id`` is given) every document
+    ends with the EOS id. Raises AssertionError on the first violation;
+    returns {"files": n, "docs": n, "tokens": n} on success."""
+    names = sorted(os.listdir(folder))
+    ds = [n for n in names if n.endswith(".ds")]
+    idx = [n for n in names if n.endswith(".ds.index")]
+    loss = [n for n in names if n.endswith(".ds.loss")]
+    assert [n + ".index" for n in ds] == idx, "Mismatch between .ds and .ds.index files"
+    if loss:
+        assert [n + ".loss" for n in ds] == loss, "Mismatch between .ds and .ds.loss files"
+    n_docs = n_tokens = 0
+    for name in ds:
+        with open(os.path.join(folder, name + ".index"), "rb") as f:
+            ends = np.frombuffer(f.read(), np.uint64).tolist()
+        with open(os.path.join(folder, name), "rb") as f:
+            prev = 0
+            for doci, end in enumerate(ends):
+                data = f.read((end - prev) * token_size)
+                assert len(data) == (end - prev) * token_size, (
+                    f"{name}: could not read doc {doci}"
+                )
+                if eos_token_id is not None and end > prev:
+                    last = np.frombuffer(data[-token_size:], _np_dtype(token_size))[0]
+                    assert last == eos_token_id, f"{name}: no EOS at doc end of doc {doci}"
+                prev = end
+            assert f.read(1) == b"", f"{name}: trailing bytes beyond last doc end"
+        if loss:
+            lsize = os.path.getsize(os.path.join(folder, name + ".loss"))
+            assert lsize == (ends[-1] if ends else 0), f"{name}: loss bytes != tokens"
+        n_docs += len(ends)
+        n_tokens += int(ends[-1]) if ends else 0
+    return {"files": len(ds), "docs": n_docs, "tokens": n_tokens}
+
+
 def ds_windows(spark, in_dir: str, seq_len: int, token_size: int = 2):
     """Distributed windows read-back: DataFrame (shard, widx, input_ids).
 

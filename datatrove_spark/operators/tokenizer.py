@@ -86,11 +86,20 @@ def write_tokenized(
     text_col: str = "text",
     vocab_size: int = VOCAB_SIZE,
     token_size: int = 2,
+    eos_token_id: int | None = None,
+    save_loss: bool = False,
 ) -> None:
     """Write `shard_{pid:05d}.ds` (+ `.ds.index`) per partition in the
     reference byte format. Token ids are recomputed inside the partition
     writer (narrow, no extra pass); docs with zero tokens still get an index
-    entry (matching TokenizedFile, which records every written doc)."""
+    entry (matching TokenizedFile, which records every written doc).
+
+    ``eos_token_id`` appends that id after each document's tokens — the
+    reference's default behavior (tokenizer.py:284 eos_token, appended per
+    doc), with doc_ends counting the eos like any written token.
+    ``save_loss`` writes the `.ds.loss` companion of one mask byte per
+    written token (tokenizer.py:42,115-125,137 struct "<%s?"); this engine
+    has no no-loss metadata spans, so the mask is all ones."""
     fmt = "I" if token_size == 4 else "H"
     os.makedirs(out_dir, exist_ok=True)
 
@@ -98,13 +107,20 @@ def write_tokenized(
         path = os.path.join(out_dir, f"shard_{pid:05d}.ds")
         doc_ends: list[int] = []
         written = 0
+        loss_f = open(path + ".loss", "wb") if save_loss else None
         with open(path, "wb") as f:
             for row in rows:
                 ids = py_token_ids(row[text_col] or "", vocab_size)
+                if eos_token_id is not None:
+                    ids.append(eos_token_id)
                 if ids:
                     f.write(struct.pack(f"<{len(ids)}{fmt}", *ids))
+                    if loss_f:
+                        loss_f.write(b"\x01" * len(ids))
                 written += len(ids)
                 doc_ends.append(written)
+        if loss_f:
+            loss_f.close()
         with open(path + ".index", "wb") as f:
             f.write(struct.pack(f"<{len(doc_ends)}Q", *doc_ends))
         return []

@@ -131,3 +131,27 @@ def test_torch_path_gated(shards):
     else:
         with pytest.raises(ImportError):
             dataset.FileDataset(f"{out}/{sorted(streams)[0]}", 4, as_torch=True)
+
+
+def test_eos_loss_and_check_dataset(spark, tmp_path):
+    docs = [(i, f"alpha beta gamma {i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(2)
+    out = str(tmp_path / "ds_eos")
+    EOS = 65535
+    tokenizer.write_tokenized(df, out, eos_token_id=EOS, save_loss=True)
+    report = dataset.check_dataset(out, eos_token_id=EOS)
+    assert report["files"] == 2 and report["docs"] == 10
+    # every doc ends with EOS and loss mask is byte-per-token
+    back = tokenizer.read_tokenized(out)
+    assert all(d[-1] == EOS for d in back)
+    import os
+    for name in os.listdir(out):
+        if name.endswith(".ds"):
+            assert os.path.getsize(f"{out}/{name}.loss") * 2 == os.path.getsize(f"{out}/{name}")
+
+    # corruption is caught: truncate one shard
+    shard = sorted(n for n in os.listdir(out) if n.endswith(".ds"))[0]
+    with open(f"{out}/{shard}", "r+b") as f:
+        f.truncate(os.path.getsize(f"{out}/{shard}") - 2)
+    with pytest.raises(AssertionError):
+        dataset.check_dataset(out, eos_token_id=EOS)
