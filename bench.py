@@ -78,6 +78,17 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     time_query(e.queries()["quality_pipeline"], spark, sf_dir)  # JVM/Arrow warmup
 
+    # Headline FIRST, in the coolest state this process will ever be in:
+    # BASELINE.md's 73,221 docs/s was measured cold, and the host drops its
+    # all-core turbo ~40% within seconds of sustained full load (BENCH.md),
+    # so measuring after the suite would systematically understate the
+    # ratio. The pre-measure idle lets the package recover from whatever
+    # ran before bench was launched.
+    pages_path(spark, n_pages)  # generation excluded from cool-down + timing
+    pages_pipeline_run(spark, 2000)  # warm the generated-pages path
+    time.sleep(int(os.environ.get("BENCH_HEADLINE_COOLDOWN_S", "120")))
+    pages_t, pages_kept = pages_pipeline_run(spark, n_pages)
+
     times, rows = {}, {}
     t0 = time.perf_counter()
     for name, fn in sorted(e.queries().items()):
@@ -85,8 +96,6 @@ def main() -> None:
         times[name], rows[name] = round(dt, 3), n
     suite_total = time.perf_counter() - t0
 
-    pages_pipeline_run(spark, 2000)  # warm the generated-pages path
-    pages_t, pages_kept = pages_pipeline_run(spark, n_pages)
     times["pages_pipeline"] = round(pages_t, 3)
     rows["pages_pipeline"] = pages_kept
 
@@ -101,8 +110,8 @@ def main() -> None:
         "pages_docs": n_pages,
         "pages_docs_per_sec": round(n_pages / pages_t, 1),
         # BASELINE.md measured 73,221 docs/s at 32 cores on this same 1M-doc
-        # table (idle-host, affinity-pinned); suite-heated in-process runs
-        # read a little lower — see BENCH.md thermal methodology
+        # table (idle-host, affinity-pinned); headline measured first/cold
+        # in-process for comparability — see BENCH.md thermal methodology
         "baseline_docs_per_sec": 73221,
         "vs_baseline": round((n_pages / pages_t) / 73221, 3),
     }

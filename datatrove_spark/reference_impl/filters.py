@@ -59,24 +59,53 @@ def token_count(text: str) -> int:
     return len(_TOKEN_RE.findall(text))
 
 
+# Per-worker memo of (has_alnum, has_alpha) per word: web-text words are
+# Zipf-distributed, so across an Arrow batch the regex runs once per
+# *distinct* word instead of twice per token (the two searches were ~30% of
+# gopher_quality's profile). Capped; long-lived python workers keep it warm.
+_WORD_PROPS: dict[str, tuple[bool, bool]] = {}
+_WORD_PROPS_CAP = 1_000_000
+_STOPSET_CACHE: dict[tuple, frozenset] = {}
+_LSTRIP_RE = re.compile(r"^\s+")
+_RSTRIP_RE = re.compile(r"\s+$")
+
+
 def gopher_quality(
     text: str, cfg: GopherQualityConfig = GopherQualityConfig(), ws: list[str] | None = None
 ) -> str | None:
     """Returns the drop reason or None (keep). Provenance:
-    gopher_quality_filter.py:62-125. `ws` lets the fused battery share one
-    tokenization across stages. NULL text = empty document."""
+    gopher_quality_filter.py:62-125 (check order kept — the word-level
+    counts are precomputed in one pass, which cannot change which check
+    fires first). `ws` lets the fused battery share one tokenization across
+    stages. NULL text = empty document."""
     text = text or ""
     if ws is None:
         ws = words(text)
     n_words = len(ws)
-    nsw = [w for w in ws if _ALNUM_RE.search(w)]
-    n_nsw = len(nsw)
+    stop = _STOPSET_CACHE.get(cfg.stop_words)
+    if stop is None:
+        stop = _STOPSET_CACHE.setdefault(cfg.stop_words, frozenset(cfg.stop_words))
+    props = _WORD_PROPS
+    n_nsw = nsw_chars = n_alpha = n_stop = 0
+    for w in ws:
+        p = props.get(w)
+        if p is None:
+            p = (_ALNUM_RE.search(w) is not None, _ALPHA_RE.search(w) is not None)
+            if len(props) < _WORD_PROPS_CAP:
+                props[w] = p
+        if p[0]:
+            n_nsw += 1
+            nsw_chars += len(w)
+        if p[1]:
+            n_alpha += 1
+        if w in stop:
+            n_stop += 1
 
     if n_nsw < cfg.min_doc_words:
         return "gopher_short_doc"
     if n_nsw > cfg.max_doc_words:
         return "gopher_long_doc"
-    avg_len = sum(len(w) for w in nsw) / n_nsw
+    avg_len = nsw_chars / n_nsw
     if avg_len < cfg.min_avg_word_length:
         return "gopher_below_avg_threshold"
     if avg_len > cfg.max_avg_word_length:
@@ -87,17 +116,16 @@ def gopher_quality(
         return "gopher_too_many_ellipsis"
     lns = text.split("\n")
     bullet = sum(
-        1 for ln in lns if re.sub(r"^\s+", "", ln).startswith(("•", "-"))
+        1 for ln in lns if _LSTRIP_RE.sub("", ln).startswith(("•", "-"))
     )
     if bullet / len(lns) > cfg.max_bullet_lines_ratio:
         return "gopher_too_many_bullets"
-    ell = sum(1 for ln in lns if re.sub(r"\s+$", "", ln).endswith(("...", "…")))
+    ell = sum(1 for ln in lns if _RSTRIP_RE.sub("", ln).endswith(("...", "…")))
     if ell / len(lns) > cfg.max_ellipsis_lines_ratio:
         return "gopher_too_many_end_ellipsis"
-    n_alpha = sum(1 for w in ws if _ALPHA_RE.search(w))
     if n_alpha / n_words < cfg.max_non_alpha_words_ratio:
         return "gopher_below_alpha_threshold"
-    if sum(1 for w in ws if w in cfg.stop_words) < cfg.min_stop_words:
+    if n_stop < cfg.min_stop_words:
         return "gopher_enough_stop_words"
     return None
 
@@ -202,7 +230,7 @@ def _ngram_checks_np(ws: list[str], text_len: int, cfg: GopherRepetitionConfig) 
     import numpy as np
 
     m = len(ws)
-    wordlens = np.fromiter((len(w) for w in ws), np.int64, m)
+    wordlens = np.array(list(map(len, ws)), np.int64)  # map(len) is C-level
     cums = np.concatenate((np.zeros(1, np.int64), np.cumsum(wordlens)))
     ids: dict[str, int] = {}
     wid = np.fromiter((ids.setdefault(w, len(ids)) for w in ws), np.int64, m)
@@ -326,7 +354,13 @@ def c4_quality(
     for raw in text.split("\n"):
         line = raw.strip()
         ws = line.split()
-        if cfg.max_word_length != -1 and any(len(w) > cfg.max_word_length for w in ws):
+        # a word cannot be longer than its line, so lines at or under the
+        # cap (the overwhelming majority at the default 1000) skip the scan
+        if (
+            cfg.max_word_length != -1
+            and len(line) > cfg.max_word_length
+            and any(len(w) > cfg.max_word_length for w in ws)
+        ):
             continue
         if cfg.remove_citations:
             line = _CITATION_RE.sub("", line)
@@ -345,7 +379,8 @@ def c4_quality(
             return "curly_bracket", text
         if cfg.filter_policy and any(p in line_l for p in POLICY_SUBSTRINGS):
             continue
-        num_sentences += len(sentences(line))
+        if num_sentences < cfg.min_num_sentences:  # only the < min compare matters
+            num_sentences += len(sentences(line))
         kept_lines.append(line)
     if num_sentences < cfg.min_num_sentences:
         return "too_few_sentences", text
