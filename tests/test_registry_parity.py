@@ -116,3 +116,19 @@ def test_langid_wide_coverage(spark, duck_small):
     )
     d = sorted(tuple(r) for r in con.execute(langid.oracle_sql()).fetchall())
     assert s == d
+
+
+def test_langid_kernel_matches_native(spark):
+    """The Arrow-batched py_langid hot path is bit-identical to the
+    declarative detect() twin on real docs, crafted script docs, and the
+    NULL/empty/whitespace edges."""
+    from datatrove_spark.operators import langid
+
+    edges = [(1000, None), (1001, ""), (1002, "   \n\t  "), (1003, "xqzt blorp")]
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text").union(
+        spark.createDataFrame(LANGID_DOCS + edges, "doc_id long, text string")
+    )
+    cols = ["doc_id", "language", "language_score", "langid_keep", "langid_reason"]
+    a = sorted(tuple(r) for r in langid.apply(df).select(cols).collect())
+    b = sorted(tuple(r) for r in langid.apply_native(df).select(cols).collect())
+    assert a == b
