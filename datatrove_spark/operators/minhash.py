@@ -134,6 +134,9 @@ def signatures_native(
     )
 
 
+_AB_CACHE: dict[int, "object"] = {}
+
+
 def py_bucket_sigs(text: str, cfg: MinHashConfig = MinHashConfig()) -> list[tuple[int, int]]:
     """Pure-Python/numpy per-doc kernel — identical values to the
     expression path (shared h60/perm31 definitions). NULL text -> no
@@ -151,7 +154,10 @@ def py_bucket_sigs(text: str, cfg: MinHashConfig = MinHashConfig()) -> list[tupl
     hs = np.fromiter((py_hash60(g) for g in shingles), dtype=np.int64, count=len(shingles))
     hm = hs % MERSENNE_31
     k = cfg.num_buckets * cfg.hashes_per_bucket
-    ab = np.array([perm31_coeffs(i) for i in range(k)], dtype=np.int64)
+    ab = _AB_CACHE.get(k)
+    if ab is None:  # coefficients depend only on k — share across docs
+        ab = np.array([perm31_coeffs(i) for i in range(k)], dtype=np.int64)
+        _AB_CACHE[k] = ab
     # (k, n_shingles) permuted matrix: values < 2^62, exact in int64
     mins = ((ab[:, :1] * hm[None, :] + ab[:, 1:]) % MERSENNE_31).min(axis=1)
     out = []

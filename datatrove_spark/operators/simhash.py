@@ -34,6 +34,9 @@ from datatrove_spark.operators.minhash import connected_components
 NAME = "simhash"
 
 
+_H60_WORD_CACHE: dict[str, int] = {}
+
+
 def py_fingerprint(text: str, cfg: SimHashConfig = SimHashConfig()) -> int | None:
     """numpy per-doc kernel — identical values to the expression path.
     NULL text -> None fingerprint (= the SQL oracle's NULL propagation)."""
@@ -46,7 +49,18 @@ def py_fingerprint(text: str, cfg: SimHashConfig = SimHashConfig()) -> int | Non
     ws = list(dict.fromkeys(simplify_text(text).split()))
     if not ws:
         return None
-    hs = np.fromiter((py_hash60(w) for w in ws), dtype=np.int64, count=len(ws))
+    # capped per-worker word-hash memo: simplified web-text words are
+    # Zipf-distributed, so the md5-based portable hash runs once per
+    # distinct word across the batch stream, not once per occurrence
+    cache = _H60_WORD_CACHE
+    hs = np.empty(len(ws), dtype=np.int64)
+    for i, w in enumerate(ws):
+        h = cache.get(w)
+        if h is None:
+            h = py_hash60(w)
+            if len(cache) < 1_000_000:
+                cache[w] = h
+        hs[i] = h
     set_counts = ((hs[:, None] >> np.arange(cfg.bits)) & 1).sum(axis=0)
     bits = (set_counts * 2 > len(ws)).astype(np.int64)
     return int((bits << np.arange(cfg.bits)).sum())

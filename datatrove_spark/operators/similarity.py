@@ -80,6 +80,9 @@ def _bucket_code(vec: Column, table: int, n_planes: int, dim: int) -> Column:
     return code
 
 
+_PLANE_CACHE: dict[tuple, "object"] = {}
+
+
 def py_bucket_codes(mat, n_tables: int, n_planes: int, dim: int):
     """(B, dim) float64 batch -> (B, n_tables) int64 bucket codes.
 
@@ -89,12 +92,24 @@ def py_bucket_codes(mat, n_tables: int, n_planes: int, dim: int):
     every row at once — vectorized across the batch, sequential across dims."""
     import numpy as np
 
+    key = (n_tables, n_planes, dim)
+    coeffs = _PLANE_CACHE.get(key)
+    if coeffs is None:  # derive the (t, p, j) coefficient tensor once
+        coeffs = np.array(
+            [
+                [[plane_coeff(t, p, j) for j in range(dim)] for p in range(n_planes)]
+                for t in range(n_tables)
+            ],
+            dtype=np.float64,
+        )
+        _PLANE_CACHE[key] = coeffs
     out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
     for t in range(n_tables):
         for p in range(n_planes):
             acc = np.zeros(mat.shape[0], dtype=np.float64)
+            cs = coeffs[t, p]
             for j in range(dim):
-                acc += mat[:, j] * plane_coeff(t, p, j)
+                acc += mat[:, j] * cs[j]
             out[:, t] += (acc > 0) * (1 << p)
     return out
 
