@@ -167,6 +167,81 @@ JOIN c4 USING (doc_id) JOIN fw USING (doc_id)
 """.strip()
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-rule flow under one hash gate: URL filter -> language
+    ID -> fused quality battery -> PII scrub of the surviving text. One row
+    per input document with the first drop reason in pipeline order, the
+    keep decision, and the curated (C4-rewritten + PII-scrubbed) text for
+    kept documents.
+
+    The production path (plans/pipeline.py) short-circuits — dropped docs
+    never reach later stages. Because every stage is a pure per-document
+    function of its input text, running all stages and coalescing reasons in
+    stage order yields the identical keep/reason/text, which is what lets
+    this compose as one declarative plan the oracle can mirror. Reference
+    stage order: /root/reference/examples/fineweb.py (url filter -> langid
+    -> gopher rep -> gopher qual -> c4 -> fineweb -> PII formatter)."""
+    df = load(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, ".bad.com").otherwise(".example.com"),
+            F.lit("/"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 0, "casino").otherwise("article"),
+        ),
+    )
+    df = url_filter.apply(df, cfg=_URLF_CFG)
+    df = langid.apply(df)
+    df = quality_pipeline(df)
+    df = pii.apply(df, text_col="final_text")
+    reason = F.coalesce(
+        F.col("url_filter_reason"),
+        F.when(~F.col("langid_keep"), F.lit("lang_filter")),
+        F.col("drop_reason"),
+    )
+    keep = reason.isNull()
+    return df.select(
+        "doc_id",
+        "language",
+        reason.alias("curation_reason"),
+        keep.alias("curation_keep"),
+        F.when(keep, F.col("pii_text")).alias("curated_text"),
+    )
+
+
+_CUR_URL_SQL = (
+    "'https://www.' || source || (CASE WHEN doc_id % 5 = 0 THEN '.bad.com' ELSE '.example.com' END) "
+    "|| '/' || (CASE WHEN doc_id % 11 = 0 THEN 'casino' ELSE 'article' END)"
+)
+
+
+def _oracle_curation_pipeline() -> str:
+    uf = url_filter.oracle_sql("u", "url", cfg=_URLF_CFG)
+    li = langid.oracle_sql()
+    qp = _oracle_quality_pipeline(fused=True)
+    pi = pii.oracle_sql(table="qp_text", text_expr="text")
+    reason = (
+        "coalesce(uf.url_filter_reason, "
+        "CASE WHEN NOT li.langid_keep THEN 'lang_filter' END, qp.drop_reason)"
+    )
+    return f"""
+WITH u AS (SELECT doc_id, {_CUR_URL_SQL} AS url FROM documents),
+uf AS ({uf}),
+li AS ({li}),
+qp AS ({qp}),
+qp_text AS (SELECT doc_id, final_text AS text FROM qp),
+pi AS ({pi})
+SELECT d.doc_id, li.language,
+  {reason} AS curation_reason,
+  ({reason} IS NULL) AS curation_keep,
+  CASE WHEN {reason} IS NULL THEN pi.pii_text END AS curated_text
+FROM documents d
+JOIN uf USING (doc_id) JOIN li USING (doc_id)
+JOIN qp USING (doc_id) JOIN pi USING (doc_id)
+""".strip()
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = langid.apply(load(spark, sf_dir, "documents"))
     return df.select("doc_id", "language", "language_score", "langid_keep")
@@ -609,6 +684,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fineweb_quality": (_q_fineweb_quality, fineweb_quality.oracle_sql()),
     "quality_pipeline": (_q_quality_pipeline, _oracle_quality_pipeline(fused=True)),
     "quality_pipeline_native": (_q_quality_pipeline_native, _oracle_quality_pipeline(fused=False)),
+    "curation_pipeline": (_q_curation_pipeline, _oracle_curation_pipeline()),
     "langid": (_q_langid, langid.oracle_sql()),
     "fasttext_filter": (_q_fasttext_filter, _oracle_fasttext_filter()),
     "unigram_logprob": (_q_unigram_logprob, unigram_logprob.oracle_sql()),
