@@ -291,7 +291,11 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in edges.select("a", "b").toLocalIterator():
+        # one collect job, not toLocalIterator: the iterator fetches the
+        # ~2*shuffle.partitions edge partitions as sequential mini-jobs,
+        # paying scheduler latency per partition; at <= driver_threshold
+        # edges (5M rows * 16 B = 80 MB) a single collect is strictly better
+        for a, b in edges.select("a", "b").collect():
             if a not in parent:
                 parent[a] = a
             if b not in parent:

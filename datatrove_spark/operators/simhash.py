@@ -133,7 +133,16 @@ def edges(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Residual worst case is quadratic in *distinct* near-identical
     fingerprints per band value, which is inherent to exact simhash
     banding."""
-    fps = fingerprints(df, id_col, text_col, cfg)
+    return edges_from_fps(fingerprints(df, id_col, text_col, cfg), id_col, cfg)
+
+
+def edges_from_fps(fps: DataFrame, id_col: str = "doc_id",
+                   cfg: SimHashConfig = SimHashConfig()) -> DataFrame:
+    """Edge plan over a precomputed (id, fp) table. This plan fans out into
+    four branches that each scan `fps` (reps groupBy, the same-fp star join,
+    and both sides of the band self-join) — callers that pay a non-trivial
+    fingerprint computation should persist `fps` first (see apply()), or the
+    Arrow kernel re-runs once per branch."""
     reps = fps.groupBy("fp").agg(F.min(id_col).alias("fp_rep"))
     same_fp = (
         fps.join(reps, "fp")
@@ -172,7 +181,20 @@ def edges(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def apply(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
           cfg: SimHashConfig = SimHashConfig()) -> DataFrame:
-    comp = connected_components(edges(df, id_col, text_col, cfg))
+    # The edge plan scans the fingerprint table from four branches; persist
+    # the (id, fp) pairs (16 bytes/doc) so the Arrow text-scan kernel runs
+    # exactly once per document. connected_components cuts lineage before
+    # returning (driver rows / eager localCheckpoint), so unpersisting here
+    # is safe even though `comp` is consumed lazily by the caller.
+    fps = fingerprints(df, id_col, text_col, cfg).persist()
+    try:
+        # materialize before the fan-out: the edge plan's branches run as
+        # concurrent stages of one job, which would each race to compute
+        # the yet-uncached partitions and duplicate the text scan anyway
+        fps.count()
+        comp = connected_components(edges_from_fps(fps, id_col, cfg))
+    finally:
+        fps.unpersist()
     out = df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
     return (
         out.withColumn("dup_of", F.when(F.col("rep") != F.col(id_col), F.col("rep")))
