@@ -137,6 +137,22 @@ def test_ngram_lm_broadcast_scoring_joins(spark, pages):
     assert p.count("SortMergeJoin") <= 1
 
 
+def test_curation_pipeline_is_shuffle_free(pages):
+    """The composed north-rule flow (URL filter -> langid -> quality battery
+    -> PII scrub) is per-document end to end: one narrow stage, scan ->
+    kernels -> project. An Exchange anywhere here would shuffle the full
+    corpus text at every curation run."""
+    from datatrove_spark.operators import langid, pii, url_filter
+
+    df = pages.withColumn("url", F.concat(F.lit("https://h.example.com/"), F.col("doc_id")))
+    df = url_filter.apply(df)
+    df = langid.apply(df)
+    df = quality_pipeline(df)
+    df = pii.apply(df, text_col="final_text")
+    plan = plan_of(df.filter("url_filter_keep AND langid_keep AND keep"))
+    assert "Exchange" not in plan, plan
+
+
 def test_readability_extract_is_projection_only(pages):
     """Native readability extraction is a pure narrow map: no Exchange."""
     from datatrove_spark.operators import readability
