@@ -77,6 +77,25 @@ def test_connected_components_transitive(spark):
     assert comp == {3: 3, 5: 3, 7: 3}
 
 
+def test_connected_components_distributed_branch_matches_driver(spark):
+    """driver_threshold=0 forces the label-propagation path (the 100 TB
+    branch, normally unreachable at test scale). Both strategies must yield
+    identical components on a graph that needs multiple propagation rounds:
+    a long chain (min label travels the full length), a star, an isolated
+    edge, and reversed/duplicate edge listings."""
+    raw = [(9, 8), (8, 7), (7, 6), (6, 5), (5, 1), (20, 21), (22, 21), (23, 21), (40, 41), (41, 40)]
+    edges = spark.createDataFrame(raw, "a long, b long")
+    expect = {r.node: r.rep for r in minhash.connected_components(edges).collect()}
+    dist = {
+        r.node: r.rep
+        for r in minhash.connected_components(edges, driver_threshold=0).collect()
+    }
+    assert dist == expect
+    assert dist[9] == 1 and dist[1] == 1  # min label crossed the whole chain
+    assert dist[20] == dist[23] == 20
+    assert dist[40] == dist[41] == 40
+
+
 def test_oracle_parity_on_crafted(spark, corpus, tmp_path):
     import duckdb
 
