@@ -70,7 +70,11 @@ def make_udf(cfg: EngineConfig = EngineConfig()):
                 if reason is None:
                     reason = rf.fineweb_quality(new_text, fw_cfg)
             reasons.append(reason)
-            outs.append(new_text)
+            # NULL means "unchanged": only c4-rewritten docs ship text back
+            # over Arrow (apply() coalesces with the input column JVM-side).
+            # On web text most docs rewrite to themselves, so this halves
+            # the Python->JVM transfer on the headline path.
+            outs.append(None if new_text == t else new_text)
         return pd.DataFrame({"drop_reason": reasons, "final_text": outs})
 
     return quality_battery
@@ -81,7 +85,7 @@ def apply(df: DataFrame, text_col: str = "text", cfg: EngineConfig = EngineConfi
     return (
         df.withColumn("__q", res)
         .withColumn("drop_reason", F.col("__q.drop_reason"))
-        .withColumn("final_text", F.col("__q.final_text"))
+        .withColumn("final_text", F.coalesce(F.col("__q.final_text"), F.col(text_col)))
         .withColumn("keep", F.col("drop_reason").isNull())
         .drop("__q")
     )
