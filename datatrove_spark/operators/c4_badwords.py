@@ -216,11 +216,18 @@ def apply_scrub(
     def scrub(texts: pd.Series, langs: pd.Series) -> pd.Series:
         from datatrove_spark.operators.c4_badwords import py_scrub_toxicity
 
-        return pd.Series(
-            [py_scrub_toxicity(t, lg, cfg, mask) for t, lg in zip(texts, langs)]
-        )
+        # NULL means "unchanged": only masked docs ship text back over
+        # Arrow (coalesced with the input column below). NULL input text
+        # stays NULL on both forms (coalesce(NULL, NULL)).
+        def one(t, lg):
+            out = py_scrub_toxicity(t, lg, cfg, mask)
+            return None if out == t or out is t else out
 
-    return df.withColumn("toxicity_text", scrub(F.col(text_col), F.col(lang_col)))
+        return pd.Series([one(t, lg) for t, lg in zip(texts, langs)])
+
+    return df.withColumn(
+        "toxicity_text", F.coalesce(scrub(F.col(text_col), F.col(lang_col)), F.col(text_col))
+    )
 
 
 def oracle_sql_scrub(

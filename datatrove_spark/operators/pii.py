@@ -78,13 +78,23 @@ def make_udf(cfg: PIIConfig = PIIConfig()):
     def pii_scrub(texts: pd.Series) -> pd.Series:
         from datatrove_spark.operators.pii import scrub  # executor-side
 
-        return texts.map(lambda t: scrub(t, cfg))
+        # NULL means "unchanged" — apply() coalesces with the input column,
+        # so only docs that actually contained PII ship text back over
+        # Arrow. NULL input still maps to "" (scrub returns "", and
+        # "" != None so it is shipped), preserving the empty-doc contract.
+        def one(t):
+            out = scrub(t, cfg)
+            return None if out == t else out
+
+        return texts.map(one)
 
     return pii_scrub
 
 
 def apply(df: DataFrame, text_col: str = "text", cfg: PIIConfig = PIIConfig()) -> DataFrame:
-    return df.withColumn(f"{NAME}_text", make_udf(cfg)(F.col(text_col)))
+    return df.withColumn(
+        f"{NAME}_text", F.coalesce(make_udf(cfg)(F.col(text_col)), F.col(text_col))
+    )
 
 
 # --- DuckDB oracle -----------------------------------------------------------
