@@ -14,10 +14,11 @@ from datatrove_spark import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the full FineWeb-order quality-filter battery over the
-    sf0.001 documents table (keep/drop decision + drop reason + rewritten
-    text per document)."""
-    fn = registry.queries()["quality_pipeline"]
+    """Flagship query: the end-to-end curation flow (URL filter -> language
+    ID -> FineWeb-order quality battery -> PII scrub) over the sf0.001
+    documents table — per document: language, first drop reason in stage
+    order, keep decision, and the curated (rewritten + scrubbed) text."""
+    fn = registry.queries()["curation_pipeline"]
     return fn(spark, "/root/testdata/sf0.001")
 
 
