@@ -118,8 +118,13 @@ class FolderDataset:
             filename_pattern = re.compile(filename_pattern)
         matched: list[str] = []
         if recursive:
-            for root, _dirs, names in sorted(os.walk(folder_path)):
-                matched.extend(os.path.join(root, n) for n in sorted(names))
+            # one GLOBAL sort over full paths, matching the reference's
+            # fs.find lexicographic ordering — per-directory sorting would
+            # diverge for names that sort across '/' (e.g. 'a.x/' vs 'a/'),
+            # changing seeded-shuffle permutations and max_tokens truncation
+            for root, _dirs, names in os.walk(folder_path):
+                matched.extend(os.path.join(root, n) for n in names)
+            matched.sort()
         else:
             matched = [
                 os.path.join(folder_path, n)

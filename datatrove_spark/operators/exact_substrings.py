@@ -82,26 +82,27 @@ def gram_hashes(text_col, length: int = DEFAULT_L):
     return k(text_col)
 
 
-def py_cut(text: str, positions: list[int] | None, length: int = DEFAULT_L) -> tuple[int, int, str]:
-    """Remove tokens covered by duplicated L-grams starting at `positions`.
+def py_cut(
+    text: str, intervals: list[tuple[int, int]] | None, length: int = DEFAULT_L
+) -> tuple[int, int, str]:
+    """Remove tokens covered by the sorted, disjoint [s, e] token-index
+    intervals (the union of duplicated L-gram spans, merged Spark-side so
+    the per-doc payload is O(#intervals), not O(#covered positions)).
 
-    Returns (n_words, n_removed, rebuilt_text). Interval union is computed
-    with a sweep over the sorted start positions.
+    Returns (n_words, n_removed, rebuilt_text).
     """
     ws = (text or "").split()
-    if not positions:
+    if not intervals:
         return len(ws), 0, " ".join(ws)
-    keep = [True] * len(ws)
-    end = -1  # last covered index so far
-    for p in sorted(positions):
-        lo = max(p, end + 1)
-        hi = p + length - 1
-        for i in range(lo, hi + 1):
-            keep[i] = False
-        if hi > end:
-            end = hi
-    kept = [w for w, k in zip(ws, keep) if k]
-    return len(ws), len(ws) - len(kept), " ".join(kept)
+    out: list[str] = []
+    removed = 0
+    nxt = 0  # first index not yet emitted
+    for s, e in intervals:
+        out.extend(ws[nxt:s])
+        removed += e - s + 1
+        nxt = e + 1
+    out.extend(ws[nxt:])
+    return len(ws), removed, " ".join(out)
 
 
 _CUT_SCHEMA = StructType(
@@ -115,10 +116,13 @@ _CUT_SCHEMA = StructType(
 
 def _cut_udf(length: int):
     @F.pandas_udf(_CUT_SCHEMA)
-    def k(texts: Series, poss: Series) -> pd.DataFrame:
+    def k(texts: Series, ivs: Series) -> pd.DataFrame:
         from datatrove_spark.operators.exact_substrings import py_cut
 
-        rows = [py_cut(t, None if p is None else list(p), length) for t, p in zip(texts, poss)]
+        rows = [
+            py_cut(t, None if p is None else [(int(iv["s"]), int(iv["e"])) for iv in p], length)
+            for t, p in zip(texts, ivs)
+        ]
         return pd.DataFrame(rows, columns=["n_words", "n_removed", "es_text"])
 
     return k
@@ -138,18 +142,34 @@ def apply(
     # count-over-window instead of groupBy+semi-join back onto g: the gram
     # kernel and the corpus scan run ONCE with a single shuffle on the hash.
     cnt = F.count("*").over(Window.partitionBy("h"))
+    # union the covered [pos, pos+L-1] spans into disjoint intervals BEFORE
+    # collecting per doc: a long fully-duplicated doc (the common case this
+    # operator targets) collapses to ONE (s, e) struct instead of an
+    # O(n_tokens) position array in a single row — the per-row payload is
+    # O(#intervals). Spans [p1,·] and [p2,·] merge iff p2 <= p1 + L (overlap
+    # or adjacency), so interval ids are a running count of gap starts.
+    w_doc = Window.partitionBy("id").orderBy("pos")
     hits = (
         g.withColumn("cnt", cnt)
         .filter("cnt >= 2")
+        .withColumn("__prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "__iv",
+            F.sum(
+                (F.col("__prev").isNull() | (F.col("pos") > F.col("__prev") + length)).cast("int")
+            ).over(w_doc),
+        )
+        .groupBy("id", "__iv")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + F.lit(length - 1)).alias("e"))
         .groupBy("id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("dup_pos"))
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("dup_iv"))
     )
     out = df.join(hits, df[id_col] == hits["id"], "left").drop("id")
-    cut = _cut_udf(length)(F.col(text_col), F.col("dup_pos"))
+    cut = _cut_udf(length)(F.col(text_col), F.col("dup_iv"))
     return (
         out.withColumn("__cut", cut)
         .select("*", "__cut.n_words", "__cut.n_removed", "__cut.es_text")
-        .drop("__cut", "dup_pos")
+        .drop("__cut", "dup_iv")
     )
 
 

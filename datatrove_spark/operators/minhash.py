@@ -137,21 +137,31 @@ def signatures_native(
 _AB_CACHE: dict[int, "object"] = {}
 
 
-def py_bucket_sigs(text: str, cfg: MinHashConfig = MinHashConfig()) -> list[tuple[int, int]]:
-    """Pure-Python/numpy per-doc kernel — identical values to the
-    expression path (shared h60/perm31 definitions). NULL text -> no
-    shingles -> no signature rows (= the SQL oracle's NULL propagation)."""
+def py_shingle_hashes(text: str, cfg: MinHashConfig = MinHashConfig()) -> list[int]:
+    """Per-doc kernel: h60 of each distinct n-gram shingle, first-occurrence
+    order — same values as the declarative `_shingle_hashes` expression.
+    NULL/short text -> [] (the SQL oracle's NULL propagation)."""
     text = text or ""
-    import numpy as np
-
     from datatrove_spark.reference_impl.filters import simplify_text
 
     ws = simplify_text(text).split()
     n = cfg.n_grams
     if len(ws) < n:
         return []
-    shingles = list(dict.fromkeys(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)))
-    hs = np.fromiter((py_hash60(g) for g in shingles), dtype=np.int64, count=len(shingles))
+    shingles = dict.fromkeys(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+    return [py_hash60(g) for g in shingles]
+
+
+def py_bucket_sigs(text: str, cfg: MinHashConfig = MinHashConfig()) -> list[tuple[int, int]]:
+    """Pure-Python/numpy per-doc kernel — identical values to the
+    expression path (shared h60/perm31 definitions). NULL text -> no
+    shingles -> no signature rows (= the SQL oracle's NULL propagation)."""
+    import numpy as np
+
+    hs_list = py_shingle_hashes(text, cfg)
+    if not hs_list:
+        return []
+    hs = np.fromiter(hs_list, dtype=np.int64, count=len(hs_list))
     hm = hs % MERSENNE_31
     k = cfg.num_buckets * cfg.hashes_per_bucket
     ab = _AB_CACHE.get(k)
@@ -215,17 +225,41 @@ def jaccard_pairs(
     Jaccard; this verifies candidates with the true shingle-set
     intersection/union (array_intersect/array_union, JVM-native).
 
-    Scale shape: the candidate pair set is tiny relative to the corpus, so
-    it BROADCASTS into both joins — the corpus-side shingle arrays never
-    shuffle; only candidate docs' arrays materialize into the join."""
-    cand = pairs(df, id_col, text_col, cfg)
-    sh = df.select(
-        F.col(id_col).alias("__id"), _shingle_hashes(F.col(text_col), cfg).alias("sh")
-    ).filter(F.size("sh") > 0)
-    left = sh.join(F.broadcast(cand), sh.__id == cand.a).select("a", "b", F.col("sh").alias("sh_a"))
-    both = sh.join(F.broadcast(left), sh.__id == left.b).select(
-        "a", "b", "sh_a", F.col("sh").alias("sh_b")
+    Scale shape: the candidate id set is tiny relative to the corpus, so it
+    (ids ONLY, never array payloads) broadcasts twice — once as a semi-join
+    that restricts the corpus before any shingle work, once to tag each
+    restricted doc's array with its pair keys. Shingle arrays are computed
+    by the Arrow kernel on the restricted set only (the lambda-HOF form
+    this module keeps as documentation runs interpreted, ~6x slower) and
+    meet in ONE hash join on (a, b) that shuffles candidate-doc arrays
+    only — bounded by the candidate set, never by the corpus."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    # the candidate plan embeds the signature UDF over the full corpus and
+    # feeds three consumers below — materialize it once, eagerly
+    cand = pairs(df, id_col, text_col, cfg).localCheckpoint(eager=True)
+    ids = cand.select(F.col("a").alias("__id")).union(cand.select("b")).distinct()
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def shingles(texts: pd.Series) -> pd.Series:
+        from datatrove_spark.operators.minhash import py_shingle_hashes
+
+        return texts.map(lambda t: py_shingle_hashes(t, cfg))
+
+    # materialize the (small) restricted arrays once: the plan below joins
+    # sh on both the a-side and the b-side, and without this the Arrow
+    # kernel would evaluate twice
+    sh = (
+        df.join(F.broadcast(ids), F.col(id_col) == F.col("__id"), "left_semi")
+        .select(F.col(id_col).alias("__id"), shingles(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
     )
+    left = sh.join(F.broadcast(cand), sh.__id == cand.a).select("a", "b", F.col("sh").alias("sh_a"))
+    right = sh.join(F.broadcast(cand), sh.__id == cand.b).select(
+        F.col("a"), F.col("b"), F.col("sh").alias("sh_b")
+    )
+    both = left.join(right, ["a", "b"])
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / uni
@@ -270,10 +304,13 @@ def connected_components(
       replaces ~20 iterative Spark jobs with one collect. This is the
       reference's single-task union-find (minhash.py:444-485) done right:
       only EDGES centralize, never documents.
-    - larger: distributed min-label propagation to a fixed point; each
-      round is one shuffle of the label table, localCheckpoint keeps the
-      lineage short. The 25 GB/30 h cliff case (examples/fineweb.py:146-151)
-      lands here with bounded memory.
+    - larger: distributed min-label propagation WITH pointer jumping
+      (rep <- rep's rep each round, path-halving style) to a fixed point,
+      so rounds scale with log(component diameter) instead of diameter;
+      localCheckpoint keeps the lineage short. The 25 GB/30 h cliff case
+      (examples/fineweb.py:146-151) lands here with bounded memory. If the
+      fixed point is not reached within max_iter rounds the function RAISES
+      rather than silently returning split components (under-dedup).
     """
     # edges is the output of a non-trivial plan (UDF fingerprints + band
     # self-join); it is consumed twice below (count + iterate/propagate), so
@@ -320,6 +357,7 @@ def connected_components(
         .distinct()
         .withColumn("rep", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.y == labels.node)
@@ -331,6 +369,18 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias("rep"),
+            )
+        )
+        # pointer jump (path halving): rep <- label(rep). Labels then travel
+        # along rep chains as well as graph edges, so a component of
+        # diameter d converges in O(log d) rounds — plain neighbor-min alone
+        # needs d rounds and would silently split long chains at max_iter.
+        jump = new_labels.selectExpr("node AS __r", "rep AS __rep2")
+        new_labels = (
+            new_labels.join(jump, new_labels.rep == F.col("__r"), "left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.coalesce(F.col("__rep2"), F.col("rep"))).alias("rep"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -346,6 +396,12 @@ def connected_components(
     # labels is localCheckpointed eagerly each round, so the cached edges are
     # no longer needed (the driver-side branch unpersists on its own path)
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — returning here would "
+            "silently under-deduplicate (split components)."
+        )
     return labels
 
 

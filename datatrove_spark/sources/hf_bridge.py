@@ -45,7 +45,18 @@ def write_hf_export(
     max_records_per_file: int | None = None,
 ) -> list[str]:
     """Distributed parquet write in the hub export layout; returns shard
-    paths. The rename pass is driver-side metadata only (no data moves)."""
+    paths. The rename pass is driver-side metadata only (no data moves).
+
+    The shard rename uses posix os.replace, so the output root must be
+    driver-local storage — validated UP FRONT so a remote URI fails before
+    the (expensive) distributed write, not after it."""
+    if "://" in root and not root.startswith("file://"):
+        raise ValueError(
+            f"write_hf_export renames shards with driver-local os.replace; got remote "
+            f"root {root!r}. Write with df.write.parquet(...) directly for remote "
+            "storage, or export to a local path and upload the shards."
+        )
+    root = root.removeprefix("file://")
     data_dir = os.path.join(root, "data")
     w = df.write.mode("overwrite")
     if max_records_per_file:

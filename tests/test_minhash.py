@@ -96,6 +96,28 @@ def test_connected_components_distributed_branch_matches_driver(spark):
     assert dist[40] == dist[41] == 40
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node path has graph diameter 59: plain neighbor-min propagation
+    advances one hop per round and would need 59 rounds; pointer jumping
+    (rep <- label(rep)) roughly doubles label reach per round, so max_iter=10
+    must suffice — this is the 'dup cluster with diameter > max_iter' case
+    that previously returned silently split components."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(59)], "a long, b long")
+    comp = {
+        r.node: r.rep
+        for r in minhash.connected_components(edges, max_iter=10, driver_threshold=0).collect()
+    }
+    assert len(comp) == 60 and set(comp.values()) == {0}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Convergence not reached within max_iter must RAISE, not silently
+    return split components (under-dedup)."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        minhash.connected_components(edges, max_iter=1, driver_threshold=0)
+
+
 def test_oracle_parity_on_crafted(spark, corpus, tmp_path):
     import duckdb
 

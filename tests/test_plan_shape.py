@@ -153,6 +153,31 @@ def test_curation_pipeline_is_shuffle_free(pages):
     assert "Exchange" not in plan, plan
 
 
+def test_jaccard_pairs_no_corpus_hof_no_array_broadcast(pages):
+    """Exact-Jaccard verification must (a) never run an interpreted
+    higher-order-function projection over the unrestricted corpus, (b) never
+    re-run a Python kernel inside the final plan — signatures and the
+    candidate-restricted shingle arrays are each materialized exactly once
+    (localCheckpoint) at construction time — and (c) never broadcast array
+    payloads: the only broadcasts are id-only (candidate pairs / ids), and
+    the array-carrying sides meet in a plain (a, b) join."""
+    import re
+
+    from datatrove_spark.operators import minhash
+
+    df = minhash.jaccard_pairs(pages)
+    p = plan_of(df, "formatted")
+    assert "lambdafunction" not in p.lower(), p  # no interpreted HOF anywhere
+    assert "EvalPython" not in p, p  # kernels pre-materialized, not in-plan
+    # every BroadcastExchange input is id-only — the shingle-array columns
+    # (sh_a / sh_b / sh) never ride a broadcast
+    ids = re.findall(r"\(\d+\) BroadcastExchange", p)
+    assert ids, p  # the candidate-id broadcasts must exist
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", p):
+        cols = m.group(1)
+        assert "sh" not in cols, p
+
+
 def test_readability_extract_is_projection_only(pages):
     """Native readability extraction is a pure narrow map: no Exchange."""
     from datatrove_spark.operators import readability
