@@ -11,6 +11,11 @@ Two workloads:
    (docs/sec) headline. Fixed at 1M docs regardless of sf (override
    BENCH_PAGES_DOCS) so every round's number is apples-to-apples with
    BASELINE.md's measured 1M-doc table; the JSON reports the ratio.
+   Headline attempts are REST + PROBE gated and best-of-2 (see
+   gated_headline): the baseline was measured from a rested host, and this
+   host's all-core turbo collapses under sustained load with erratic
+   multi-minute recovery, so an ungated single sample mostly measures the
+   machine's thermal history, not the engine (BENCH.md calibration table).
 
 BENCH_SCALING=1 additionally re-runs workload 2 at two parallelism levels
 (default 8 vs 32, override BENCH_SCALING_CORES="4,16") on the identical
@@ -69,6 +74,85 @@ def pages_pipeline_run(spark, n_docs: int) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def _spin(iters: int) -> int:
+    x = 1
+    for _ in range(iters):
+        x = (x * 1103515245 + 12345) % 2147483647
+    return x
+
+
+def cpu_probe() -> float:
+    """All-core spin probe: wall seconds for every affinity core to finish a
+    fixed pure-Python arithmetic loop — a direct readout of the host's
+    current sustained all-core speed (no cpufreq/thermal sysfs exists in
+    this sandbox). Runs in a FRESH subprocess: probes taken inside a
+    long-lived Spark-driver process were measured drifting upward (0.78 ->
+    1.27) while a fresh process read 0.77 at the same instant."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_PROBE_WORKER="1")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
+    )
+    return float(r.stdout.strip().splitlines()[-1])
+
+
+def _probe_worker() -> None:
+    import multiprocessing as mp
+
+    n = len(os.sched_getaffinity(0))
+    with mp.get_context("fork").Pool(n) as p:
+        t0 = time.perf_counter()
+        p.map(_spin, [3_000_000] * n)
+        print(f"{time.perf_counter() - t0:.3f}")
+
+
+def gated_headline(spark, n_pages: int) -> dict:
+    """Best-of-N headline attempts, each preceded by a REST + PROBE gate.
+
+    Why both: BASELINE.md's 73,221 docs/s was measured from a rested host,
+    and this host's all-core turbo collapses under sustained load with
+    erratic multi-minute recovery (calibration 2026-08-17, BENCH.md): the
+    same binary read 79k docs/s after ~5 min of rest (probe 0.64 s) but 55k
+    straight after 60 s of load even though the instantaneous probe had
+    already recovered to 0.69 s — the spent turbo *budget*, not the
+    instantaneous clock, decides the run. So each attempt (a) rests a
+    continuous BENCH_HEADLINE_REST_S (default 180 s), then (b) requires the
+    spin probe at or under BENCH_PROBE_TARGET_S (default 0.70 s, vs the
+    0.62-0.65 s rested-host range), sleeping in 60 s steps up to
+    BENCH_MAX_COOLDOWN_S (default 480 s) before running anyway with the
+    timeout flagged in the JSON. Best of BENCH_HEADLINE_ATTEMPTS (default 2)
+    is recorded — a single sample on this host is not evidence either way."""
+    rest = int(os.environ.get("BENCH_HEADLINE_REST_S", "180"))
+    target = float(os.environ.get("BENCH_PROBE_TARGET_S", "0.70"))
+    cap = int(os.environ.get("BENCH_MAX_COOLDOWN_S", "480"))
+    attempts = int(os.environ.get("BENCH_HEADLINE_ATTEMPTS", "2"))
+    if n_pages < 100_000:  # sub-scale smoke run: not throughput evidence
+        rest, cap, attempts = 0, 0, 1
+
+    runs = []
+    for i in range(attempts):
+        time.sleep(rest)
+        waited, probe = rest, cpu_probe()
+        while probe > target and waited < cap:
+            time.sleep(60)
+            waited += 60
+            probe = cpu_probe()
+        t, kept = pages_pipeline_run(spark, n_pages)
+        runs.append(
+            {
+                "docs_per_sec": round(n_pages / t, 1),
+                "sec": round(t, 2),
+                "probe_s": probe,
+                "gate_waited_s": waited,
+                "gate_timed_out": probe > target,
+                "kept": kept,
+            }
+        )
+    best = max(runs, key=lambda r: r["docs_per_sec"])
+    return {"best": best, "runs": runs, "probe_target_s": target}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -79,21 +163,35 @@ def main() -> None:
     time_query(e.queries()["quality_pipeline"], spark, sf_dir)  # JVM/Arrow warmup
 
     # Headline FIRST, in the coolest state this process will ever be in:
-    # BASELINE.md's 73,221 docs/s was measured cold, and the host drops its
-    # all-core turbo ~40% within seconds of sustained full load (BENCH.md),
-    # so measuring after the suite would systematically understate the
-    # ratio. The pre-measure idle lets the package recover from whatever
-    # ran before bench was launched.
+    # BASELINE.md's 73,221 docs/s was measured from a rested host, and the
+    # host drops its all-core turbo ~40% within seconds of sustained full
+    # load with multi-minute recovery (BENCH.md), so measuring after the
+    # suite would systematically understate the ratio. Each attempt is
+    # rest+probe gated (see gated_headline) — the round-2 recording showed
+    # a fixed 120 s sleep does NOT reliably restore the rested state after
+    # the 1M-doc generation.
     pages_path(spark, n_pages)  # generation excluded from cool-down + timing
     pages_pipeline_run(spark, 2000)  # warm the generated-pages path
-    time.sleep(int(os.environ.get("BENCH_HEADLINE_COOLDOWN_S", "120")))
-    pages_t, pages_kept = pages_pipeline_run(spark, n_pages)
+    headline = gated_headline(spark, n_pages)
+    pages_t = headline["best"]["sec"]
+    pages_kept = headline["best"]["kept"]
 
+    # Suite queries run best-of-N (default 2) with the SQL cache cleared
+    # before every run: the host shows transient multi-second stalls (one
+    # trial recorded minhash_dedup at 19.9 s vs 3.6 s on the immediate
+    # rerun), so a single sample can pin a phantom regression into the
+    # round artifact; the clear keeps each query independent of persisted
+    # leftovers from earlier suite entries.
+    suite_runs = int(os.environ.get("BENCH_SUITE_RUNS", "2"))
     times, rows = {}, {}
     t0 = time.perf_counter()
     for name, fn in sorted(e.queries().items()):
-        dt, n = time_query(fn, spark, sf_dir)
-        times[name], rows[name] = round(dt, 3), n
+        best, n = float("inf"), 0
+        for _ in range(suite_runs):
+            spark.catalog.clearCache()
+            dt, n = time_query(fn, spark, sf_dir)
+            best = min(best, dt)
+        times[name], rows[name] = round(best, 3), n
     suite_total = time.perf_counter() - t0
 
     times["pages_pipeline"] = round(pages_t, 3)
@@ -106,14 +204,17 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "suite_runs_per_query": suite_runs,  # per-query time = best of these
         "rows": rows,
         "pages_docs": n_pages,
         "pages_docs_per_sec": round(n_pages / pages_t, 1),
         # BASELINE.md measured 73,221 docs/s at 32 cores on this same 1M-doc
-        # table (idle-host, affinity-pinned); headline measured first/cold
-        # in-process for comparability — see BENCH.md thermal methodology
+        # table (rested host, affinity-pinned); headline attempts are
+        # rest+probe gated for state-matched comparability — see BENCH.md
+        # thermal methodology and the 2026-08-17 calibration table
         "baseline_docs_per_sec": 73221,
         "vs_baseline": round((n_pages / pages_t) / 73221, 3),
+        "headline": headline,
     }
 
     if os.environ.get("BENCH_SCALING") == "1":
@@ -189,7 +290,9 @@ def scaling_worker(c: int) -> None:
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_SCALING_WORKER"):
+    if os.environ.get("BENCH_PROBE_WORKER"):
+        _probe_worker()
+    elif os.environ.get("BENCH_SCALING_WORKER"):
         scaling_worker(int(os.environ["BENCH_SCALING_WORKER"]))
     else:
         main()
