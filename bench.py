@@ -107,6 +107,18 @@ def _probe_worker() -> None:
         print(f"{time.perf_counter() - t0:.3f}")
 
 
+def rest_and_gate(rest: int, target: float, cap: int) -> tuple[float, int]:
+    """Continuous rest, then sleep-and-reprobe until the spin probe reaches
+    `target` or `cap` total seconds have passed. Returns (probe, waited)."""
+    time.sleep(rest)
+    waited, probe = rest, cpu_probe()
+    while probe > target and waited < cap:
+        time.sleep(60)
+        waited += 60
+        probe = cpu_probe()
+    return probe, waited
+
+
 def gated_headline(spark, n_pages: int) -> dict:
     """Best-of-N headline attempts, each preceded by a REST + PROBE gate.
 
@@ -132,12 +144,7 @@ def gated_headline(spark, n_pages: int) -> dict:
 
     runs = []
     for i in range(attempts):
-        time.sleep(rest)
-        waited, probe = rest, cpu_probe()
-        while probe > target and waited < cap:
-            time.sleep(60)
-            waited += 60
-            probe = cpu_probe()
+        probe, waited = rest_and_gate(rest, target, cap)
         t, kept = pages_pipeline_run(spark, n_pages)
         runs.append(
             {
@@ -240,13 +247,14 @@ def main() -> None:
         # long full-load run) while the few-core level barely notices (few
         # active cores keep high turbo even warm). Equal-state ordering is
         # impossible by waiting alone, so measure DESCENDING — the sensitive
-        # level first, in the coolest state available — plus a cool-down
-        # after the preceding full-load suite. Measured efficiency: 0.93
-        # idle-machine, 0.85 warm-machine descending, vs 0.69 ascending.
-        cooldown = int(os.environ.get("BENCH_COOLDOWN_S", "90"))
+        # level first, in the coolest state available — and give every level
+        # the same rest+probe gate the headline uses (round 3; previously a
+        # fixed 90 s sleep). Measured efficiency: 0.93 idle-machine, 0.85
+        # warm-machine descending, vs 0.69 ascending.
+        cooldown = int(os.environ.get("BENCH_COOLDOWN_S", "120"))
         perf = {}
         for c in sorted(cores_pair, reverse=True):
-            time.sleep(cooldown)
+            rest_and_gate(cooldown, float(os.environ.get("BENCH_PROBE_TARGET_S", "0.70")), 420)
             env = dict(os.environ, BENCH_SCALING_WORKER=str(c), BENCH_PAGES=str(scaling_pages))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True

@@ -178,6 +178,20 @@ def test_jaccard_pairs_no_corpus_hof_no_array_broadcast(pages):
         assert "sh" not in cols, p
 
 
+def test_minhash_pairs_single_signature_kernel(pages):
+    """The banding plan must evaluate the Arrow signature kernel exactly once
+    per document: one ArrowEvalPython node feeding the single (bucket, sig)
+    key shuffle — a second one would re-scan and re-hash the corpus text."""
+    from datatrove_spark.operators import minhash
+
+    p = plan_of(minhash.pairs(pages), "simple")
+    assert p.count("ArrowEvalPython") == 1, p
+    # exactly two shuffles: the (bucket_id, sig) key shuffle of per-doc
+    # signature rows (the only corpus-scale one) and the (a, b) distinct
+    # over the collision EDGES only
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
 def test_readability_extract_is_projection_only(pages):
     """Native readability extraction is a pure narrow map: no Exchange."""
     from datatrove_spark.operators import readability
