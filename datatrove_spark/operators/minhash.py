@@ -355,9 +355,17 @@ def connected_components(
         rows = [(n, find(n)) for n in parent]
         spark = edges.sparkSession
         edges.unpersist()
-        if not rows:
-            return spark.createDataFrame([], "node long, rep long")
-        return spark.createDataFrame(rows, "node long, rep long")
+        # Ship the labels back as an Arrow-backed LocalRelation (pandas path),
+        # NOT createDataFrame(list-of-tuples): the tuple form parallelizes
+        # PICKLED rows into a PythonRDD whose evaluation needs a python worker
+        # per task — in a long session with many queued UDF stages those 32
+        # tasks were observed blocked ~16 s each (0.14 s CPU) waiting on
+        # workers, turning the trivial final join into the suite's slowest
+        # step. The pandas form plans as LocalTableScan: pure JVM, carries
+        # size stats, and lets the downstream corpus join broadcast.
+        if not rows:  # empty pandas frames fall back to the RDD path too
+            return spark.range(0).selectExpr("id AS node", "id AS rep")
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["node", "rep"], dtype="int64"))
     sym = edges.selectExpr("a AS x", "b AS y").union(edges.selectExpr("b AS x", "a AS y"))
     labels = (
         edges.select(F.col("a").alias("node"))

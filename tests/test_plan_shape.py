@@ -192,6 +192,23 @@ def test_minhash_pairs_single_signature_kernel(pages):
     assert p.count("Exchange hashpartitioning") == 2, p
 
 
+def test_minhash_dedup_labels_are_local_relation(pages):
+    """The driver union-find's component labels must come back as an
+    Arrow-backed LocalRelation (LocalTableScan) and broadcast into the corpus
+    join. createDataFrame(list-of-tuples) instead plans a pickled
+    ParallelCollectionRDD -> PythonRDD ("Scan ExistingRDD"): its evaluation
+    needs a python worker PER TASK, which was measured blocking ~16 s/task
+    under a UDF-busy session, and the stats-free RDD side forces a
+    corpus-shuffling SortMergeJoin."""
+    from datatrove_spark.operators import minhash
+
+    p = plan_of(minhash.apply(pages), "simple")
+    assert "Scan ExistingRDD" not in p, p
+    assert "LocalTableScan" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
 def test_readability_extract_is_projection_only(pages):
     """Native readability extraction is a pure narrow map: no Exchange."""
     from datatrove_spark.operators import readability
