@@ -175,6 +175,110 @@ def ann_topk(
     )
 
 
+# --- IVF-Flat ANN (inverted-file index, the billion-vector scale path) -------
+
+
+def py_ivf_dists(mat, cents):
+    """(B, dim) float64 batch x (K, dim) float64 centroids -> (B, K) squared-L2.
+
+    Bit-identical to the SQL oracle: each distance accumulates
+    dimension-by-dimension (acc += (v_j - c_j)^2), reproducing DuckDB
+    list_sum's strict left-to-right float64 fold — vectorized across the
+    batch AND the centroid axis, sequential across dims."""
+    import numpy as np
+
+    d = np.zeros((mat.shape[0], cents.shape[0]), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        diff = mat[:, j, None] - cents[None, :, j]
+        d += diff * diff
+    return d
+
+
+def _ivf_assign_udf(cents, n_probe: int):
+    """pandas UDF: vector -> the n_probe nearest centroid ids, distance-
+    ascending (ties -> smaller centroid id, via stable argsort)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datatrove_spark.operators.similarity import py_ivf_dists
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = py_ivf_dists(mat, cents)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return probes
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors are indexed into inverted
+    lists by nearest coarse centroid (write-side, like a real IVF index);
+    each query probes its n_probe nearest cells and exact-re-ranks only those
+    candidates. Complements lsh_buckets/ann_topk as the second ANN scale
+    path: at 10^9 vectors the corpus shuffles ONCE by cell id, a query
+    touches n_probe/n_centroids of the data, and recall is tunable via
+    n_probe with zero index rebuild.
+
+    Coarse centroids are the n_centroids lowest-id corpus vectors — real IVF
+    trains them offline (k-means) and then treats them as FIXED constants at
+    index and query time; the deterministic id-ordered pick stands in for
+    that offline artifact so the whole query is cross-engine reproducible
+    (a distributed k-means mean is float-summation-order-dependent and can
+    not be oracled exactly). Swap in trained centroids via the `centroids`
+    argument of a production wrapper without touching the plan shape.
+
+    The centroid table is collected to the driver (bounded: n_centroids x dim
+    float64, a few MB even at 65k centroids) and embedded in the Arrow kernel
+    closure — the assignment kernel is one numpy pass, never a per-row HOF."""
+    import numpy as np
+
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, to_double_array(F.col(vec_col)).alias("__c"))
+        .orderBy(id_col)
+        .collect()
+    )
+    cents = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
+
+    cell1 = _ivf_assign_udf(cents, 1)
+    cellN = _ivf_assign_udf(cents, n_probe)
+    ccells = corpus.select(F.col(id_col), F.element_at(cell1(F.col(vec_col)), 1).alias("cell"))
+    qcells = queries.select(
+        F.col(query_id_col), F.explode(cellN(F.col(vec_col))).alias("cell")
+    )
+    cand = ccells.join(F.broadcast(qcells), "cell").select(id_col, query_id_col).distinct()
+
+    qv = queries.select(query_id_col, F.col(vec_col).alias("__qv"))
+    cv = corpus.select(id_col, F.col(vec_col).alias("__cv"))
+    scored = cand.join(F.broadcast(qv), query_id_col).join(cv, id_col)
+    score = _cos(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy(query_id_col).orderBy(score.desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            F.round(score, 6).alias("score"),
+        )
+    )
+
+
 def neardup_pairs_rowwise(
     df: DataFrame,
     threshold: float = 0.95,
@@ -348,6 +452,51 @@ codes AS (
   SELECT DISTINCT cq.id AS query_id, cc.id AS {id_col}
   FROM codes cq JOIN qids ON cq.id = qids.qid
   JOIN codes cc ON cq.table_id = cc.table_id AND cq.bucket = cc.bucket
+), scored AS (
+  SELECT cand.query_id, cand.{id_col},
+         {cos} AS s,
+         row_number() OVER (PARTITION BY cand.query_id ORDER BY {cos} DESC, cand.{id_col} ASC) AS rank
+  FROM cand
+  JOIN (SELECT {id_col} AS qid2, {vec_col} AS qv FROM {table}) q ON cand.query_id = q.qid2
+  JOIN {table} c ON cand.{id_col} = c.{id_col}
+)
+SELECT query_id, {id_col}, rank, round(s, 6) AS score FROM scored WHERE rank <= {k}
+""".strip()
+
+
+def oracle_sql_ivf_topk(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """Same semantics as ivf_topk: centroids = lowest-n_centroids ids;
+    squared-L2 folds left-to-right per (vector, centroid); assignment ties
+    break toward the smaller centroid id; exact cosine re-rank of probed
+    cells only."""
+    l2 = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> (v[i]::DOUBLE - cv[i]::DOUBLE) * (v[i]::DOUBLE - cv[i]::DOUBLE)))"
+    )
+    cos = _sql_cos("q.qv", f"c.{vec_col}")
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS cid, {vec_col} AS cv FROM {table} WHERE {id_col} < {n_centroids}
+), assign AS (
+  SELECT e.{id_col} AS id, cents.cid,
+         row_number() OVER (PARTITION BY e.{id_col} ORDER BY {l2} ASC, cents.cid ASC) AS rnk
+  FROM (SELECT {id_col}, {vec_col} AS v FROM {table}) e CROSS JOIN cents
+), ccells AS (
+  SELECT id, cid AS cell FROM assign WHERE rnk = 1
+), qcells AS (
+  SELECT id AS query_id, cid AS cell FROM assign WHERE rnk <= {n_probe} AND id < {n_queries}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.id AS {id_col}
+  FROM qcells q JOIN ccells c ON q.cell = c.cell
 ), scored AS (
   SELECT cand.query_id, cand.{id_col},
          {cos} AS s,

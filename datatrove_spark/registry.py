@@ -669,6 +669,12 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, queries_df, k=5)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    return similarity.ivf_topk(emb, queries_df, k=5)
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
 
@@ -706,6 +712,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decont": (_q_decont, decont.oracle_sql()),
     "cosine_topk": (_q_cosine_topk, similarity.oracle_sql_cosine_topk()),
     "ann_topk": (_q_ann_topk, similarity.oracle_sql_ann_topk()),
+    "ivf_topk": (_q_ivf_topk, similarity.oracle_sql_ivf_topk()),
     "embedding_neardup": (_q_embedding_neardup, similarity.oracle_sql_neardup_pairs(threshold=0.45)),
     "sentence_dedup": (_q_sentence_dedup, sentence_dedup.oracle_sql()),
     "extract_html": (_q_extract_html, extract.oracle_sql("documents", _HTML_SQL)),

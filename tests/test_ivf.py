@@ -1,0 +1,76 @@
+"""IVF-Flat ANN: semantic sanity + plan shape.
+
+The registry parity suite (test_registry_parity) already proves ivf_topk
+byte-matches its DuckDB oracle at sf0.001/sf0.01; these tests pin the
+properties the oracle comparison can't express: self-retrieval, recall vs
+the exact brute force, and the index/probe plan shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from datatrove_spark.operators import similarity
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+
+
+def test_self_retrieval(emb, queries):
+    """Every query vector is in the corpus and in its own probed cell, so it
+    must come back at rank 1 with score 1.0."""
+    out = similarity.ivf_topk(emb, queries, k=5).collect()
+    top = {r.query_id: (r.vec_id, r.score) for r in out if r.rank == 1}
+    assert set(top) == {0, 1, 2, 3, 4}
+    for qid, (vid, score) in top.items():
+        assert vid == qid, (qid, vid)
+        assert score == 1.0
+
+
+def test_recall_vs_exact(emb, queries):
+    """Probing n_probe=n_centroids cells degenerates to exact search: the
+    result must equal brute-force cosine_topk row-for-row."""
+    exact = sorted(map(tuple, similarity.cosine_topk(emb, queries, k=5).collect()))
+    full = sorted(
+        map(tuple, similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).collect())
+    )
+    assert full == exact
+
+
+def test_partial_probe_is_subset(emb, queries):
+    """With n_probe < n_centroids the candidate set shrinks; every returned
+    (query, hit) pair must still be a true corpus vector and scores must be
+    exact cosines (spot-check vs brute force on the intersection)."""
+    exact = {
+        (r.query_id, r.vec_id): r.score
+        for r in similarity.cosine_topk(emb, queries, k=50).collect()
+    }
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert (r.query_id, r.vec_id) in exact
+        assert r.score == exact[(r.query_id, r.vec_id)]
+
+
+def test_plan_single_corpus_udf_and_broadcast(emb, queries):
+    """The corpus side runs the assignment kernel exactly once (one
+    ArrowEvalPython over the corpus scan) and the probed query cells reach it
+    as a broadcast — the corpus is never shuffled by query count."""
+    import contextlib
+    import io
+
+    df = similarity.ivf_topk(emb, queries, k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
