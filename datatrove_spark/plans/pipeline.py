@@ -177,12 +177,25 @@ def run_pipeline_sharded(
     application (sequential here; shards are embarrassingly parallel across
     applications since they share nothing). The Iceberg rendering replaces
     the _SUCCESS marker with a snapshot-per-shard commit check.
+
+    Ops artifacts (the reference executor's logging_dir contract,
+    executor/base.py:92-127 + tools/failed_logs.py:38-53): ``executor.json``
+    with the world size at the job root, and a ``logs/task_{rank:05d}.log``
+    per shard — the shard's input files and metrics summary on success, the
+    full traceback on failure (then re-raised). ``datatrove_spark.tools``
+    reads these for jobs-status / failed-logs.
     """
     read = reader or (lambda s, files: s.read.parquet(*files))
+    os.makedirs(out_dir, exist_ok=True)
+    log_dir = os.path.join(out_dir, "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "executor.json"), "w") as f:
+        json.dump({"world_size": world_size, "stages": [st.name for st in stages]}, f, indent=1)
     shard_metrics: list[dict] = []
     for rank, group in enumerate(shard_files(input_files, world_size)):
         shard_dir = os.path.join(out_dir, f"shard-{rank:05d}")
         mpath = os.path.join(shard_dir, "metrics.json")
+        log_path = os.path.join(log_dir, f"task_{rank:05d}.log")
         if resume and _done(os.path.join(shard_dir, "data")) and os.path.exists(mpath):
             with open(mpath) as f:
                 shard_metrics.append(json.load(f))
@@ -190,8 +203,24 @@ def run_pipeline_sharded(
         if not group:
             shard_metrics.append({"total": 0, "kept": 0, "dropped_by_reason": {},
                                   "stages": [st.name for st in stages], "partitions": []})
+            with open(log_path, "w") as f:
+                f.write(f"rank {rank}: empty shard (0 input files)\ncompleted\n")
             continue
-        shard_metrics.append(run_pipeline(spark, read(spark, group), stages, shard_dir, resume=resume))
+        try:
+            m = run_pipeline(spark, read(spark, group), stages, shard_dir, resume=resume)
+        except BaseException:
+            import traceback
+
+            with open(log_path, "w") as f:
+                f.write(f"rank {rank}: FAILED\ninputs:\n")
+                f.writelines(f"  {p}\n" for p in group)
+                f.write(traceback.format_exc())
+            raise
+        shard_metrics.append(m)
+        with open(log_path, "w") as f:
+            f.write(f"rank {rank}: inputs:\n")
+            f.writelines(f"  {p}\n" for p in group)
+            f.write(f"total={m['total']} kept={m['kept']}\ncompleted\n")
     merged_reasons: dict[str, int] = {}
     for m in shard_metrics:
         for k, v in m["dropped_by_reason"].items():
