@@ -236,6 +236,12 @@ class SimHashConfig:
 
 
 @dataclass(frozen=True)
+class WinnowingConfig:
+    k: int = 3  # gram size (tokens)
+    w: int = 4  # window: any shared run of >= w + k - 1 tokens is detected
+
+
+@dataclass(frozen=True)
 class URLFilterConfig:
     soft_word_threshold: int = 2
     blocked_domains: tuple[str, ...] = ()

@@ -52,6 +52,7 @@ from datatrove_spark.operators import (
     unigram_logprob,
     url_dedup,
     url_filter,
+    winnowing,
 )
 
 TABLES = (
@@ -652,6 +653,14 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_stats.apply(df)
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing.fingerprints(load(spark, sf_dir, "documents"))
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing.pairs(load(spark, sf_dir, "documents"))
+
+
 def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = sentence_dedup.apply(load(spark, sf_dir, "documents"))
     return df.select("doc_id", "sentence_dedup_text", "sentence_dedup_keep")
@@ -714,6 +723,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk": (_q_ann_topk, similarity.oracle_sql_ann_topk()),
     "ivf_topk": (_q_ivf_topk, similarity.oracle_sql_ivf_topk()),
     "embedding_neardup": (_q_embedding_neardup, similarity.oracle_sql_neardup_pairs(threshold=0.45)),
+    "winnow_fingerprints": (_q_winnow_fingerprints, winnowing.oracle_sql_fingerprints()),
+    "winnow_pairs": (_q_winnow_pairs, winnowing.oracle_sql_pairs()),
     "sentence_dedup": (_q_sentence_dedup, sentence_dedup.oracle_sql()),
     "extract_html": (_q_extract_html, extract.oracle_sql("documents", _HTML_SQL)),
     "extract_readability": (

@@ -154,28 +154,32 @@ def test_curation_pipeline_is_shuffle_free(pages):
 
 
 def test_jaccard_pairs_no_corpus_hof_no_array_broadcast(pages):
-    """Exact-Jaccard verification must (a) never run an interpreted
-    higher-order-function projection over the unrestricted corpus, (b) never
-    re-run a Python kernel inside the final plan — signatures and the
-    candidate-restricted shingle arrays are each materialized exactly once
-    (localCheckpoint) at construction time — and (c) never broadcast array
-    payloads: the only broadcasts are id-only (candidate pairs / ids), and
-    the array-carrying sides meet in a plain (a, b) join."""
+    """Exact-Jaccard verification is ONE lazy plan with no driver barriers;
+    it must (a) never run an interpreted higher-order-function projection
+    over the unrestricted corpus, (b) evaluate each Python kernel exactly
+    once — one signature kernel (inside the candidate broadcast side; a
+    union-rendered role table would clone it per branch) and one shingle
+    kernel ABOVE the broadcast join (a pushable size()>0 filter once
+    dragged it corpus-wide and duplicated it) — and (c) never broadcast
+    array payloads: the broadcast carries candidate (id, a, b, role) rows
+    only, and the two roles meet in a plain (a, b) aggregation."""
     import re
 
     from datatrove_spark.operators import minhash
 
     df = minhash.jaccard_pairs(pages)
-    p = plan_of(df, "formatted")
+    p = plan_of(df, "simple")
     assert "lambdafunction" not in p.lower(), p  # no interpreted HOF anywhere
-    assert "EvalPython" not in p, p  # kernels pre-materialized, not in-plan
-    # every BroadcastExchange input is id-only — the shingle-array columns
-    # (sh_a / sh_b / sh) never ride a broadcast
-    ids = re.findall(r"\(\d+\) BroadcastExchange", p)
-    assert ids, p  # the candidate-id broadcasts must exist
-    for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", p):
-        cols = m.group(1)
-        assert "sh" not in cols, p
+    assert len(re.findall(r"ArrowEvalPython \[bucket_sigs", p)) == 1, p
+    assert len(re.findall(r"ArrowEvalPython \[shingles", p)) == 1, p
+    # the shingle kernel sits above the broadcast join (runs on the
+    # candidate-restricted probe rows, never the unrestricted corpus)
+    assert p.index("ArrowEvalPython [shingles") < p.index("BroadcastHashJoin"), p
+    # the shingle arrays never ride the broadcast: the single
+    # BroadcastExchange builds from the id-only role rows
+    fp = plan_of(df, "formatted")
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", fp):
+        assert "sh" not in m.group(1), fp
 
 
 def test_minhash_pairs_single_signature_kernel(pages):
