@@ -27,6 +27,7 @@ from datatrove_spark.operators import (
     c4_paragraphs,
     c4_quality,
     decont,
+    dsir,
     exact_dedup,
     exact_substrings,
     extract,
@@ -653,6 +654,14 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_stats.apply(df)
 
 
+def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir.scores(load(spark, sf_dir, "documents"), target="lang = 'en'")
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir.select_topk(load(spark, sf_dir, "documents"), target="lang = 'en'", k=100)
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing.fingerprints(load(spark, sf_dir, "documents"))
 
@@ -723,6 +732,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk": (_q_ann_topk, similarity.oracle_sql_ann_topk()),
     "ivf_topk": (_q_ivf_topk, similarity.oracle_sql_ivf_topk()),
     "embedding_neardup": (_q_embedding_neardup, similarity.oracle_sql_neardup_pairs(threshold=0.45)),
+    "dsir_scores": (_q_dsir_scores, dsir.oracle_sql_scores()),
+    "dsir_select": (_q_dsir_select, dsir.oracle_sql_topk()),
     "winnow_fingerprints": (_q_winnow_fingerprints, winnowing.oracle_sql_fingerprints()),
     "winnow_pairs": (_q_winnow_pairs, winnowing.oracle_sql_pairs()),
     "sentence_dedup": (_q_sentence_dedup, sentence_dedup.oracle_sql()),
