@@ -215,6 +215,33 @@ def _ivf_assign_udf(cents, n_probe: int):
     return probes
 
 
+def _ivf_cell_udf(cents):
+    """Scalar variant for the corpus side: vector -> its single nearest
+    cell id. Returning a LONG (not element_at over an array UDF) matters
+    for the plan: the inner join's implicit isnotnull(cell) filter then
+    references the extracted pythonUDF attribute directly — the array form
+    measured the assignment kernel evaluated TWICE over the corpus (once
+    under the pushed null-filter, once for the projection)."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from datatrove_spark.operators.similarity import py_ivf_dists
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = py_ivf_dists(mat, cents)
+        return pd.Series(np.argsort(d, axis=1, kind="stable")[:, 0].astype(np.int64))
+
+    # the kernel IS deterministic; the marker only forbids Catalyst from
+    # cloning it into the join's inferred isnotnull(cell) constraint filter,
+    # which otherwise evaluates the assignment over the corpus twice
+    return cell.asNondeterministic()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -254,9 +281,9 @@ def ivf_topk(
     )
     cents = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
 
-    cell1 = _ivf_assign_udf(cents, 1)
+    cell1 = _ivf_cell_udf(cents)
     cellN = _ivf_assign_udf(cents, n_probe)
-    ccells = corpus.select(F.col(id_col), F.element_at(cell1(F.col(vec_col)), 1).alias("cell"))
+    ccells = corpus.select(F.col(id_col), cell1(F.col(vec_col)).alias("cell"))
     qcells = queries.select(
         F.col(query_id_col), F.explode(cellN(F.col(vec_col))).alias("cell")
     )
@@ -264,7 +291,10 @@ def ivf_topk(
 
     qv = queries.select(query_id_col, F.col(vec_col).alias("__qv"))
     cv = corpus.select(id_col, F.col(vec_col).alias("__cv"))
-    scored = cand.join(F.broadcast(qv), query_id_col).join(cv, id_col)
+    # corpus vectors STREAM against the broadcast (candidate x query-vector)
+    # side — written the other way round, AQE happily broadcast the whole
+    # corpus embedding table (fine at sf0.1, fatal at 10^9 vectors)
+    scored = cv.join(F.broadcast(cand.join(F.broadcast(qv), query_id_col)), id_col)
     score = _cos(F.col("__qv"), F.col("__cv"))
     w = Window.partitionBy(query_id_col).orderBy(score.desc(), F.col(id_col).asc())
     return (

@@ -74,3 +74,13 @@ def test_plan_single_corpus_udf_and_broadcast(emb, queries):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
+    # exactly two Arrow kernels: one corpus cell assignment, one query probes
+    # (a third means the constraint-inferred isnotnull(cell) filter cloned the
+    # corpus assignment — the scalar-LONG + asNondeterministic contract broke)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 2, plan
+    # the corpus re-rank streams against broadcast candidates; a sort-merge
+    # join here means the corpus vector table was shuffled (or broadcast) by
+    # the candidate join — fatal at 10^9 vectors
+    assert "SortMergeJoin" not in plan, plan
