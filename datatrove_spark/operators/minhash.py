@@ -201,16 +201,21 @@ def signatures(
     )
 
 
-def pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: MinHashConfig = MinHashConfig()
-) -> DataFrame:
-    """Distinct (a, b) with a < b sharing at least one bucket signature."""
-    sigs = signatures(df, id_col, text_col, cfg)
+def pairs_from_sigs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a, b) with a < b sharing at least one bucket signature,
+    from a precomputed (id, bucket_id, sig) table."""
     grouped = sigs.groupBy("bucket_id", "sig").agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
     edges = grouped.filter(F.size("ids") > 1).select(
         F.element_at("ids", 1).alias("a"), F.explode(F.slice("ids", 2, 1_000_000)).alias("b")
     )
     return edges.distinct()
+
+
+def pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: MinHashConfig = MinHashConfig()
+) -> DataFrame:
+    """Distinct (a, b) with a < b sharing at least one bucket signature."""
+    return pairs_from_sigs(signatures(df, id_col, text_col, cfg), id_col)
 
 
 def jaccard_pairs(
@@ -455,6 +460,104 @@ def apply(
     )
 
 
+def build_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cfg: MinHashConfig = MinHashConfig()
+) -> DataFrame:
+    """Distinct (bucket_id, sig) of a corpus — the write side of the
+    reference's `create_index_name` (minhash.py:261,374-381,402-409): its
+    .minhash.index files store bare signatures with NO doc id
+    (minhash.py:100,117), so membership is the only question an index can
+    answer. One hash-partitioned distinct on the 12-byte band key; at 100 TB
+    write it as parquet bucketed by (bucket_id, sig) so every later dump
+    dedups against it with a co-located join."""
+    return signatures(df, id_col, text_col, cfg).select("bucket_id", "sig").distinct()
+
+
+def apply_with_index(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+    only_dedup_in_index: bool = True,
+) -> DataFrame:
+    """Dedup a NEW corpus against a PRIOR corpus' signature index — the
+    reference's `index_folder` / `only_dedup_in_index` mode
+    (minhash.py:258-283,385-397), i.e. the cross-dump workflow: dedup each
+    new crawl against everything already kept.
+
+    Reference semantics reproduced exactly:
+    - index entries sort FIRST within an equal-signature run (HashSig is an
+      order=True dataclass and index rows carry file_id=-1, minhash.py:60-75,
+      115-119), and stage 2 only emits the (last=index, v) ADJACENCY
+      (minhash.py:388-392) — so with only_dedup_in_index=True exactly the
+      first corpus doc (min id) of each index-matched (bucket, sig) group is
+      removed; later docs of the same group survive. dup_of stays NULL: the
+      parent is the reference's SENTINEL, a document outside this corpus.
+    - only_dedup_in_index=False additionally writes corpus-corpus pairs
+      (minhash.py:393-397); in stage-3 union-find every cluster containing an
+      index match roots at SENTINEL and is removed whole (minhash.py:461-477).
+      Relationally: a connected component is contaminated iff any member
+      shares any banded signature with the index; contaminated components
+      drop entirely (index_match marks the direct sharers), clean components
+      keep their min-id representative as in plain `apply`.
+
+    Scale shape: the index is corpus-sized (billions of (bucket, sig) rows at
+    100 TB), so the membership semi join on the 12-byte band key is left to
+    AQE — never F.broadcast-forced; a small index broadcasts, a corpus-sized
+    one hash-partition-joins (and bucketed-parquet indexes co-locate it
+    entirely, see build_index). In full mode the signature table is
+    persisted so the Arrow kernel scans the corpus text once across the edge
+    job and the final labeling (the reference materializes the same thing as
+    its stage-1 .minhash.sig files)."""
+    sigs = signatures(df, id_col, text_col, cfg)
+    idx = index.select("bucket_id", "sig")
+    if only_dedup_in_index:
+        hits = (
+            sigs.join(idx, ["bucket_id", "sig"], "leftsemi")
+            .groupBy("bucket_id", "sig")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        out = df.join(hits, id_col, "left")
+        return (
+            out.withColumn("index_match", F.coalesce(F.col("__hit"), F.lit(False)))
+            .withColumn(f"{NAME}_keep", ~F.col("index_match"))
+            .drop("__hit")
+        )
+    sigs = sigs.persist()
+    comp = connected_components(pairs_from_sigs(sigs, id_col))
+    direct = (
+        sigs.join(idx, ["bucket_id", "sig"], "leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__direct", F.lit(True))
+    )
+    bad_reps = (
+        comp.join(direct.withColumnRenamed(id_col, "node"), "node", "leftsemi")
+        .select("rep")
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+    lab = comp.withColumnRenamed("node", id_col).join(bad_reps, "rep", "left")
+    out = df.join(lab, id_col, "left").join(direct, id_col, "left")
+    contaminated = F.coalesce(F.col("__bad"), F.col("__direct"), F.lit(False))
+    return (
+        out.withColumn("index_match", F.coalesce(F.col("__direct"), F.lit(False)))
+        .withColumn(
+            "dup_of",
+            F.when(~contaminated & F.col("rep").isNotNull() & (F.col("rep") != F.col(id_col)), F.col("rep")),
+        )
+        .withColumn(
+            f"{NAME}_keep",
+            ~contaminated & (F.col("rep").isNull() | (F.col("rep") == F.col(id_col))),
+        )
+        .drop("rep", "__bad", "__direct")
+    )
+
+
 # --- DuckDB oracles ----------------------------------------------------------
 
 _SIMPLIFY = (
@@ -472,24 +575,39 @@ def _sql_shingle_hashes(text_col: str, cfg: MinHashConfig) -> str:
     return f"list_transform({shingles}, s -> {sql_hash60('s')})"
 
 
-def oracle_sql_signatures(
-    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
-    cfg: MinHashConfig = MinHashConfig(),
-) -> str:
+def _sql_hashed_cte(table: str, id_col: str, text_col: str, cfg: MinHashConfig) -> str:
+    """CTE body: (id, hs) shingle-hash arrays of non-empty docs."""
+    return (
+        f"SELECT {id_col} AS id, {_sql_shingle_hashes(text_col, cfg)} AS hs FROM {table}\n"
+        f"  WHERE len({_sql_shingle_hashes(text_col, cfg)}) > 0"
+    )
+
+
+def _sql_sigs_union(hashed_name: str, id_col: str, cfg: MinHashConfig) -> str:
+    """Banded signatures from a hashed CTE — flat SQL with no nested WITH, so
+    callers can embed it inside WITH RECURSIVE chains (DuckDB rejects a
+    nested WITH inside a recursive CTE body)."""
     bucket_rows = []
     for b in range(cfg.num_buckets):
         minima = " || ',' || ".join(
             f"(list_min(list_transform(hs, h -> {sql_perm31_hash('h', b * cfg.hashes_per_bucket + i)})))::VARCHAR"
             for i in range(cfg.hashes_per_bucket)
         )
-        bucket_rows.append(f"SELECT id AS {id_col}, {b} AS bucket_id, {sql_hash60(f'({minima})')} AS sig FROM hashed")
-    union = "\nUNION ALL\n".join(bucket_rows)
+        bucket_rows.append(
+            f"SELECT id AS {id_col}, {b} AS bucket_id, {sql_hash60(f'({minima})')} AS sig FROM {hashed_name}"
+        )
+    return "\nUNION ALL\n".join(bucket_rows)
+
+
+def oracle_sql_signatures(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> str:
     return f"""
 WITH hashed AS (
-  SELECT {id_col} AS id, {_sql_shingle_hashes(text_col, cfg)} AS hs FROM {table}
-  WHERE len({_sql_shingle_hashes(text_col, cfg)}) > 0
+  {_sql_hashed_cte(table, id_col, text_col, cfg)}
 )
-{union}
+{_sql_sigs_union('hashed', id_col, cfg)}
 """.strip()
 
 
@@ -503,6 +621,77 @@ WITH sigs AS ({sigs})
 SELECT DISTINCT min({id_col}) OVER (PARTITION BY bucket_id, sig) AS a, {id_col} AS b
 FROM sigs
 QUALIFY a < b
+""".strip()
+
+
+def oracle_sql_index(
+    index_table: str, id_col: str = "doc_id", text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> str:
+    sigs = oracle_sql_signatures(index_table, id_col, text_col, cfg)
+    return f"SELECT DISTINCT bucket_id, sig FROM ({sigs})"
+
+
+def oracle_sql_index_dedup(
+    corpus_table: str, index_table: str, id_col: str = "doc_id", text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> str:
+    """only_dedup_in_index=True: the min-id corpus doc of each index-matched
+    (bucket, sig) group is removed — the reference's index-adjacency rule."""
+    csigs = oracle_sql_signatures(corpus_table, id_col, text_col, cfg)
+    isigs = oracle_sql_signatures(index_table, id_col, text_col, cfg)
+    return f"""
+WITH csigs AS ({csigs}),
+isigs AS (SELECT DISTINCT bucket_id, sig FROM ({isigs})),
+hits AS (
+  SELECT DISTINCT fid FROM (
+    SELECT min(c.{id_col}) AS fid
+    FROM csigs c JOIN isigs i USING (bucket_id, sig)
+    GROUP BY c.bucket_id, c.sig
+  )
+)
+SELECT t.{id_col},
+  (h.fid IS NOT NULL) AS index_match,
+  (h.fid IS NULL) AS {NAME}_keep
+FROM {corpus_table} t LEFT JOIN hits h ON t.{id_col} = h.fid
+""".strip()
+
+
+def oracle_sql_index_dedup_full(
+    corpus_table: str, index_table: str, id_col: str = "doc_id", text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> str:
+    """only_dedup_in_index=False: contaminated components (any member shares
+    any banded signature with the index) drop whole; clean components keep
+    the min-id representative."""
+    return f"""
+WITH RECURSIVE
+chashed AS ({_sql_hashed_cte(corpus_table, id_col, text_col, cfg)}),
+ihashed AS ({_sql_hashed_cte(index_table, id_col, text_col, cfg)}),
+csigs AS ({_sql_sigs_union('chashed', id_col, cfg)}),
+isigs AS (SELECT DISTINCT bucket_id, sig FROM ({_sql_sigs_union('ihashed', id_col, cfg)})),
+direct AS (SELECT DISTINCT c.{id_col} AS did FROM csigs c JOIN isigs i USING (bucket_id, sig)),
+prs AS (
+  SELECT DISTINCT min({id_col}) OVER (PARTITION BY bucket_id, sig) AS a, {id_col} AS b
+  FROM csigs QUALIFY a < b
+),
+edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+rep AS (SELECT x AS node, least(min(y), x) AS rep FROM reach GROUP BY x),
+bad AS (SELECT DISTINCT r.rep FROM rep r JOIN direct d ON r.node = d.did)
+SELECT t.{id_col},
+  (d.did IS NOT NULL) AS index_match,
+  CASE WHEN b.rep IS NULL AND d.did IS NULL AND rp.rep IS NOT NULL AND rp.rep <> t.{id_col}
+       THEN rp.rep END AS dup_of,
+  (b.rep IS NULL AND d.did IS NULL AND (rp.rep IS NULL OR rp.rep = t.{id_col})) AS {NAME}_keep
+FROM {corpus_table} t
+LEFT JOIN rep rp ON t.{id_col} = rp.node
+LEFT JOIN bad b ON rp.rep = b.rep
+LEFT JOIN direct d ON t.{id_col} = d.did
 """.strip()
 
 

@@ -345,6 +345,35 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "dup_of", "minhash_keep")
 
 
+# Cross-dump index dedup (reference minhash.py:258-283): the documents table
+# splits deterministically into a "prior dump" (doc_id % 7 == 0, the indexed
+# corpus) and a "new dump" (the rest, deduped against the index).
+_IDX_SPLIT_T = "(SELECT * FROM documents WHERE doc_id % 7 = 0)"
+_IDX_CORPUS_T = "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"
+
+
+def _idx_split(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 7 != 0), docs.filter(F.col("doc_id") % 7 == 0)
+
+
+def _q_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, prior = _idx_split(spark, sf_dir)
+    return minhash.build_index(prior)
+
+
+def _q_minhash_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, prior = _idx_split(spark, sf_dir)
+    df = minhash.apply_with_index(corpus, minhash.build_index(prior), only_dedup_in_index=True)
+    return df.select("doc_id", "index_match", "minhash_keep")
+
+
+def _q_minhash_index_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, prior = _idx_split(spark, sf_dir)
+    df = minhash.apply_with_index(corpus, minhash.build_index(prior), only_dedup_in_index=False)
+    return df.select("doc_id", "index_match", "dup_of", "minhash_keep")
+
+
 def _q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash.fingerprints(load(spark, sf_dir, "documents"))
 
@@ -725,6 +754,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_pairs": (_q_minhash_pairs, minhash.oracle_sql_pairs()),
     "jaccard_pairs": (_q_jaccard_pairs, minhash.oracle_sql_jaccard_pairs()),
     "minhash_dedup": (_q_minhash_dedup, minhash.oracle_sql_dedup()),
+    "minhash_index": (_q_minhash_index, minhash.oracle_sql_index(_IDX_SPLIT_T)),
+    "minhash_index_dedup": (
+        _q_minhash_index_dedup,
+        minhash.oracle_sql_index_dedup(_IDX_CORPUS_T, _IDX_SPLIT_T),
+    ),
+    "minhash_index_dedup_full": (
+        _q_minhash_index_dedup_full,
+        minhash.oracle_sql_index_dedup_full(_IDX_CORPUS_T, _IDX_SPLIT_T),
+    ),
     "simhash_fingerprints": (_q_simhash_fingerprints, simhash.oracle_sql_fingerprints()),
     "simhash_dedup": (_q_simhash_dedup, simhash.oracle_sql_dedup()),
     "decont": (_q_decont, decont.oracle_sql()),

@@ -151,3 +151,81 @@ def test_jaccard_pairs_exact_verification(spark, corpus):
         assert r.is_dup == (r.jaccard >= 0.5)
     # the corpus's exact-duplicate pair must be jaccard 1.0
     assert any(r.jaccard == 1.0 for r in out)
+
+
+# --- cross-dump index dedup (reference index_folder/only_dedup_in_index) -----
+
+OTHER = (
+    "completely different text about spark query engines and the joy of "
+    "distributed joins across many machines in a large cluster running day "
+    "and night without pause or rest while the planner folds constants"
+)
+
+
+@pytest.fixture(scope="module")
+def prior_index(spark):
+    prior = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    return minhash.build_index(prior)
+
+
+def test_build_index_is_distinct_bare_sigs(spark):
+    prior = spark.createDataFrame([(0, BASE), (1, BASE)], "doc_id long, text string")
+    idx = minhash.build_index(prior).collect()
+    assert len(idx) == 14  # two identical docs -> one sig row per bucket
+    assert set(idx[0].asDict()) == {"bucket_id", "sig"}  # no doc ids in an index
+
+
+def test_index_true_mode_removes_only_first_doc_of_matched_group(spark, prior_index):
+    """The reference's stage-2 adjacency rule: index entries sort first in an
+    equal-sig run and only (index, v) ADJACENCIES emit — so of two corpus
+    docs identical to an indexed doc, only the min-id one is removed."""
+    corpus = spark.createDataFrame(
+        [(10, BASE), (11, BASE), (13, OTHER)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in minhash.apply_with_index(
+        corpus, prior_index, only_dedup_in_index=True).collect()}
+    assert out[10].index_match and not out[10].minhash_keep
+    assert not out[11].index_match and out[11].minhash_keep  # survives: not adjacent to index
+    assert not out[13].index_match and out[13].minhash_keep
+
+
+def test_index_full_mode_drops_contaminated_component_whole(spark, prior_index):
+    """only_dedup_in_index=False: the union-find cluster containing an index
+    match roots at SENTINEL and is removed whole; clean clusters keep their
+    min-id representative."""
+    corpus = spark.createDataFrame(
+        [
+            (10, BASE),                                      # direct index hit
+            (11, BASE),                                      # clusters with 10
+            (12, BASE + " with one tiny extra clause"),      # near-dup, same cluster
+            (13, "a genuinely unrelated recipe for bread with flour water salt "
+                 "and yeast kneaded slowly then baked in a very hot stone oven "
+                 "until the crust turns golden and the kitchen smells of morning"),
+            (14, OTHER + " plus a small trailing remark"),   # clean near-dup pair
+            (15, OTHER + " plus a small trailing remark"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in minhash.apply_with_index(
+        corpus, prior_index, only_dedup_in_index=False).collect()}
+    # contaminated component drops whole, regardless of direct/transitive
+    assert out[10].index_match and not out[10].minhash_keep and out[10].dup_of is None
+    assert not out[11].minhash_keep and out[11].dup_of is None
+    assert not out[12].minhash_keep and out[12].dup_of is None
+    # clean pair: min-id representative kept, partner records dup_of
+    assert out[14].minhash_keep and out[14].dup_of is None and not out[14].index_match
+    assert not out[15].minhash_keep and out[15].dup_of == 14
+    # clean singleton untouched
+    assert out[13].minhash_keep and out[13].dup_of is None
+
+
+def test_index_no_matches_keeps_everything(spark):
+    prior = spark.createDataFrame([(0, OTHER)], "doc_id long, text string")
+    corpus = spark.createDataFrame([(10, BASE), (11, BASE)], "doc_id long, text string")
+    idx = minhash.build_index(prior)
+    t = minhash.apply_with_index(corpus, idx, only_dedup_in_index=True)
+    assert all(r.minhash_keep and not r.index_match for r in t.collect())
+    f = minhash.apply_with_index(corpus, idx, only_dedup_in_index=False)
+    out = {r.doc_id: r for r in f.collect()}
+    assert out[10].minhash_keep and not out[10].index_match
+    assert not out[11].minhash_keep and out[11].dup_of == 10  # plain self-dedup still applies
