@@ -527,6 +527,8 @@ def apply_with_index(
             .withColumn(f"{NAME}_keep", ~F.col("index_match"))
             .drop("__hit")
         )
+    from pyspark.sql import Window
+
     sigs = sigs.persist()
     comp = connected_components(pairs_from_sigs(sigs, id_col))
     direct = (
@@ -535,15 +537,18 @@ def apply_with_index(
         .distinct()
         .withColumn("__direct", F.lit(True))
     )
-    bad_reps = (
-        comp.join(direct.withColumnRenamed(id_col, "node"), "node", "leftsemi")
-        .select("rep")
-        .distinct()
-        .withColumn("__bad", F.lit(True))
-    )
-    lab = comp.withColumnRenamed("node", id_col).join(bad_reps, "rep", "left")
-    out = df.join(lab, id_col, "left").join(direct, id_col, "left")
-    contaminated = F.coalesce(F.col("__bad"), F.col("__direct"), F.lit(False))
+    # one status table, direct consumed ONCE (a second consumer would clone
+    # the index-signature kernel — a full prior-dump text scan — into the
+    # plan twice): cluster labels full-outer-join the direct hits, and a
+    # max-over-component window marks contamination; singleton direct hits
+    # (no edges) become their own one-row component via coalesce(rep, id).
+    nodes = comp.withColumnRenamed("node", id_col).join(direct, id_col, "full_outer")
+    w = Window.partitionBy(F.coalesce(F.col("rep"), F.col(id_col)))
+    status = nodes.select(
+        id_col, "rep", F.coalesce(F.col("__direct"), F.lit(False)).alias("__direct")
+    ).withColumn("__bad", F.max("__direct").over(w))
+    out = df.join(status, id_col, "left")
+    contaminated = F.coalesce(F.col("__bad"), F.lit(False))
     return (
         out.withColumn("index_match", F.coalesce(F.col("__direct"), F.lit(False)))
         .withColumn(

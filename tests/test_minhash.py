@@ -164,7 +164,12 @@ OTHER = (
 
 @pytest.fixture(scope="module")
 def prior_index(spark):
-    prior = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    import pandas as pd
+
+    # pandas-backed so plan-shape tests see LocalTableScan, not ExistingRDD
+    prior = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [BASE]}).astype({"doc_id": "int64"})
+    )
     return minhash.build_index(prior)
 
 
@@ -229,3 +234,43 @@ def test_index_no_matches_keeps_everything(spark):
     out = {r.doc_id: r for r in f.collect()}
     assert out[10].minhash_keep and not out[10].index_match
     assert not out[11].minhash_keep and out[11].dup_of == 10  # plain self-dedup still applies
+
+
+def test_index_plan_shape(spark, prior_index):
+    """True mode: exactly one corpus signature kernel + one index kernel, no
+    sort-merge join (the membership join is adaptive). Full mode: the corpus
+    signature table is read from cache (InMemoryTableScan) in the final plan
+    — the Arrow kernel scans corpus text once across the edge job and the
+    labeling — and component labels arrive as a LocalTableScan, never a
+    pickled RDD."""
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    # pandas-backed (LocalTableScan with stats) — a list-of-tuples corpus
+    # plans as a stats-free Scan ExistingRDD and forces sort-merge joins in
+    # the TEST itself (the createDataFrame trap documented in BENCH.md)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [10, 11, 13], "text": [BASE, BASE + " and an extra tail", OTHER]}
+        ).astype({"doc_id": "int64"})
+    )
+
+    def tree(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().split("\n\n")[0]
+
+    # NOTE: the membership semi join's strategy is deliberately NOT pinned —
+    # it is adaptive (broadcast for a small index, sort-merge for a
+    # corpus-sized one; both are correct).
+    t = tree(minhash.apply_with_index(corpus, prior_index, only_dedup_in_index=True))
+    assert t.count("ArrowEvalPython") == 2, t
+    assert "Scan ExistingRDD" not in t, t
+
+    f = tree(minhash.apply_with_index(corpus, prior_index, only_dedup_in_index=False))
+    assert "InMemoryTableScan" in f, f
+    assert "LocalTableScan" in f, f
+    assert "Scan ExistingRDD" not in f, f
