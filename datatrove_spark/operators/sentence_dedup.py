@@ -71,18 +71,18 @@ def _span_hashes_udf(n: int):
     return k
 
 
-def apply(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    cfg: SentenceDedupConfig = SentenceDedupConfig(),
-) -> DataFrame:
-    n = cfg.span
-    spans = df.select(
+def _spans(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
         id_col, F.posexplode(_span_hashes_udf(n)(F.col(text_col))).alias("sent_idx", "h")
     )
-    w = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("sent_idx").asc())
-    dup_spans = spans.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+
+
+def _remove_spans(
+    df: DataFrame, dup_spans: DataFrame, id_col: str, text_col: str, cfg: SentenceDedupConfig
+) -> DataFrame:
+    """Shared filter stage: drop the flagged span occurrences' sentences,
+    rebuild text, keep docs with enough surviving sentences/words."""
+    n = cfg.span
     covered = (
         dup_spans.select(
             id_col, F.explode(F.sequence(F.col("sent_idx"), F.col("sent_idx") + n - 1)).alias("ri")
@@ -111,9 +111,139 @@ def apply(
     )
 
 
+def apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: SentenceDedupConfig = SentenceDedupConfig(),
+) -> DataFrame:
+    spans = _spans(df, id_col, text_col, cfg.span)
+    w = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("sent_idx").asc())
+    dup_spans = spans.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    return _remove_spans(df, dup_spans, id_col, text_col, cfg)
+
+
+def build_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: SentenceDedupConfig = SentenceDedupConfig(),
+) -> DataFrame:
+    """Distinct span hashes of a corpus — SentenceDedupBuildIndex
+    (reference sentence_dedup.py:447-505) writes the sorted DISTINCT hashes
+    with no doc/sentence ids; membership is the only question an index
+    answers. One distinct on the 8-byte hash."""
+    return _spans(df, id_col, text_col, cfg.span).select("h").distinct()
+
+
+def apply_with_index(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: SentenceDedupConfig = SentenceDedupConfig(),
+    only_dedup_in_index: bool = True,
+) -> DataFrame:
+    """Sentence-span dedup of a NEW corpus against a PRIOR corpus' span-hash
+    index — the reference's `index_folder`/`only_dedup_in_index` mode
+    (sentence_dedup.py:193-194,232-247,266-276).
+
+    Reference semantics reproduced exactly: index entries carry
+    doc_id=sent_id=-1 so they sort FIRST within an equal-hash run
+    (sentence_dedup.py:49-62), and the find loop only emits a duplicate for
+    v when `last` qualifies (:266-276) — so with only_dedup_in_index=True
+    exactly the FIRST corpus occurrence (min doc_id, sent_idx) of each
+    indexed hash is removed and later corpus occurrences survive (the same
+    adjacency quirk as minhash index mode); corpus-corpus duplicates are NOT
+    removed at all in this mode. With only_dedup_in_index=False every corpus
+    occurrence of an indexed hash is removed (the canonical copy lives in
+    the indexed corpus — note this differs from self-dedup, which keeps the
+    first occurrence) and non-indexed hashes self-dedup as usual.
+
+    Scale shape: same single window shuffle as `apply` plus one adaptive
+    semi/left join of the span stream against the index on the 8-byte hash
+    (never F.broadcast-forced; a real index is corpus-sized)."""
+    spans = _spans(df, id_col, text_col, cfg.span)
+    flagged = spans.join(
+        index.select("h").distinct().withColumn("__m", F.lit(True)), "h", "left"
+    )
+    w = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("sent_idx").asc())
+    flagged = flagged.withColumn("rn", F.row_number().over(w))
+    if only_dedup_in_index:
+        dup_spans = flagged.filter(F.col("__m").isNotNull() & (F.col("rn") == 1))
+    else:
+        dup_spans = flagged.filter(F.col("__m").isNotNull() | (F.col("rn") > 1))
+    return _remove_spans(df, dup_spans.drop("__m"), id_col, text_col, cfg)
+
+
 _SIMPLIFY = (
     "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'), '[0-9]+', '0', 'g'))"
 )
+
+
+def _sql_spans_cte(table: str, id_col: str, text_col: str, n: int) -> str:
+    """base + spans CTE bodies, parameterized by source table — flat SQL so
+    index-mode oracles can instantiate two copies in one WITH chain."""
+    sents = f"regexp_extract_all({text_col}, '[^.!?]+[.!?]+')"
+    simp = _SIMPLIFY.format(t=f"array_to_string(sents[i+1:i+{n}], '')")
+    return (
+        f"SELECT id, u['i'] AS sent_idx, u['h'] AS h FROM (\n"
+        f"  SELECT id, unnest(list_transform(range(0, len(sents) - {n} + 1),\n"
+        f"              i -> {{'i': i, 'h': {sql_hash60(f'({simp})')}}})) AS u\n"
+        f"  FROM (SELECT {id_col} AS id, {sents} AS sents FROM {table})\n"
+        f"  WHERE len(sents) >= {n}\n"
+        f")"
+    )
+
+
+def _sql_finish(table: str, id_col: str, text_col: str, cfg: SentenceDedupConfig) -> str:
+    """removed/rebuilt/final — shared between the self-dedup and index oracles;
+    expects a `dups(id, sent_idx)` CTE in scope."""
+    n = cfg.span
+    sents = f"regexp_extract_all({text_col}, '[^.!?]+[.!?]+')"
+    return f"""removed AS (
+  SELECT id, list_distinct(flatten(list(range(sent_idx, sent_idx + {n})))) AS ri
+  FROM dups GROUP BY id
+), rebuilt AS (
+  SELECT b.{id_col} AS id,
+    coalesce(array_to_string(list_transform(
+      list_filter(list_transform({sents}, (s, ix) -> {{'s': s, 'i': ix - 1}}),
+                  st -> NOT list_contains(coalesce(r.ri, []), st['i'])),
+      st -> st['s']), ''), '') AS new_text
+  FROM {table} b LEFT JOIN removed r ON b.{id_col} = r.id
+)
+SELECT id AS {id_col}, new_text AS {NAME}_text,
+  (len(regexp_extract_all(new_text, '[^.!?]+[.!?]+')) >= {cfg.min_sentences}
+   AND len(regexp_extract_all(new_text, '\\S+')) >= {cfg.min_words}) AS {NAME}_keep
+FROM rebuilt"""
+
+
+def oracle_sql_index_dedup(
+    corpus_table: str,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: SentenceDedupConfig = SentenceDedupConfig(),
+    only_dedup_in_index: bool = True,
+) -> str:
+    cspans = _sql_spans_cte(corpus_table, id_col, text_col, cfg.span)
+    ispans = _sql_spans_cte(index_table, id_col, text_col, cfg.span)
+    cond = (
+        "rn = 1 AND h IN (SELECT h FROM ihashes)"
+        if only_dedup_in_index
+        else "rn > 1 OR h IN (SELECT h FROM ihashes)"
+    )
+    return f"""
+WITH spans AS ({cspans}),
+ihashes AS (SELECT DISTINCT h FROM ({ispans})),
+dups AS (
+  SELECT id, sent_idx FROM (
+    SELECT id, sent_idx, h, row_number() OVER (PARTITION BY h ORDER BY id, sent_idx) AS rn
+    FROM spans
+  ) WHERE {cond}
+),
+{_sql_finish(corpus_table, id_col, text_col, cfg)}
+""".strip()
 
 
 def oracle_sql(

@@ -49,10 +49,93 @@ def apply(
     return df.withColumn(f"{NAME}_keep", F.row_number().over(w) == 1)
 
 
+def build_index(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Distinct normalized-url hashes of a corpus — UrlDedupBuildIndex
+    (reference url_dedup.py:362-429) writes the sorted DISTINCT hashes with
+    no doc ids or priorities. One distinct on the 8-byte hash."""
+    return df.select(hash60(normalize_url(F.col(url_col))).alias("h")).distinct()
+
+
+def apply_with_index(
+    df: DataFrame,
+    index: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+    only_dedup_in_index: bool = True,
+) -> DataFrame:
+    """URL dedup of a NEW corpus against a PRIOR corpus' url-hash index —
+    the reference's `index_folder`/`only_dedup_in_index` mode
+    (url_dedup.py:183-286).
+
+    DOCUMENTED DEVIATION — the reference's url index mode is functionally
+    dead code: index entries are created with priority=-1 (url_dedup.py:171)
+    but is_from_index() requires priority == 1 (:53-55), and the (-priority)
+    sort key (:56-62) places index entries LAST within an equal-hash run, so
+    an index entry is never `last` for any corpus doc and the find loop
+    (:272-278) can never emit an index match — with an index attached and
+    only_dedup_in_index=True it removes NOTHING. This engine implements the
+    evidently intended semantics instead: every corpus doc whose normalized
+    url hash appears in the index is a duplicate (the canonical copy lives
+    in the indexed corpus, and unlike sentence spans there is no
+    first-occurrence quirk to preserve — all copies of an indexed url are
+    equally redundant); with only_dedup_in_index=False the non-indexed url
+    groups additionally keep only their highest-priority doc as in `apply`.
+
+    Scale shape: one adaptive join of (url_hash) against the index — never
+    F.broadcast-forced — plus, in full mode, the same single window shuffle
+    as `apply`."""
+    key = hash60(normalize_url(F.col(url_col)))
+    hits = index.select("h").distinct().withColumn("__m", F.lit(True))
+    out = df.withColumn("__h", key).join(hits, F.col("__h") == F.col("h"), "left").drop("h")
+    matched = F.coalesce(F.col("__m"), F.lit(False))
+    if only_dedup_in_index:
+        return (
+            out.withColumn("index_match", matched)
+            .withColumn(f"{NAME}_keep", ~matched)
+            .drop("__h", "__m")
+        )
+    prio = F.col(priority_col) if priority_col else F.lit(1)
+    w = Window.partitionBy("__h").orderBy(prio.desc(), F.col(id_col).asc())
+    return (
+        out.withColumn("index_match", matched)
+        .withColumn(f"{NAME}_keep", ~matched & (F.row_number().over(w) == 1))
+        .drop("__h", "__m")
+    )
+
+
 SQL_NORM = (
     "regexp_replace(regexp_replace(regexp_replace(lower({u}), '^https?://', ''), "
     "'^www\\.', ''), '/$', '')"
 )
+
+
+def oracle_sql_index_dedup(
+    corpus_table: str,
+    index_table: str,
+    url_expr: str,
+    id_col: str = "doc_id",
+    priority_expr: str = "1",
+    only_dedup_in_index: bool = True,
+) -> str:
+    h = sql_hash60(SQL_NORM.format(u=url_expr))
+    if only_dedup_in_index:
+        return f"""
+WITH hits AS (SELECT DISTINCT {h} AS h FROM {index_table})
+SELECT t.{id_col},
+  (x.h IS NOT NULL) AS index_match,
+  (x.h IS NULL) AS {NAME}_keep
+FROM {corpus_table} t LEFT JOIN hits x ON {h} = x.h
+""".strip()
+    return f"""
+WITH hits AS (SELECT DISTINCT {h} AS h FROM {index_table})
+SELECT {id_col}, index_match, (NOT index_match AND rn = 1) AS {NAME}_keep
+FROM (
+  SELECT t.{id_col}, (x.h IS NOT NULL) AS index_match,
+    row_number() OVER (PARTITION BY {h} ORDER BY {priority_expr} DESC, t.{id_col} ASC) AS rn
+  FROM {corpus_table} t LEFT JOIN hits x ON {h} = x.h
+)
+""".strip()
 
 
 def oracle_sql(

@@ -374,6 +374,58 @@ def _q_minhash_index_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "index_match", "dup_of", "minhash_keep")
 
 
+# URL index split uses % 3: the synthetic url is a function of doc_id mod
+# lcm(20 sources, 7 slots) = 140, so any split modulus sharing a factor with
+# 140 (5, 7, 10, ...) puts whole url classes on one side and never matches;
+# gcd(13, 140) = 1 spreads the index across url classes, and 13's sparsity
+# leaves most url groups index-free — so the query exercises BOTH outcomes
+# (index removal and surviving self-dedup; ~31% of groups indexed at sf0.01).
+_URL_IDX_SPLIT_T = f"(SELECT *, {_URL_SQL} AS url FROM documents WHERE doc_id % 13 = 0)"
+_URL_IDX_CORPUS_T = f"(SELECT *, {_URL_SQL} AS url FROM documents WHERE doc_id % 13 <> 0)"
+
+
+def _q_url_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("url", _URL_SPARK())
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    prior = docs.filter(F.col("doc_id") % 13 == 0)
+    df = url_dedup.apply_with_index(
+        corpus, url_dedup.build_index(prior), priority_col="n_chars", only_dedup_in_index=False
+    )
+    return df.select("doc_id", "index_match", "url_dedup_keep")
+
+
+# The documents table's text has no sentence terminators, so the sentence
+# index rows derive punctuated text deterministically: the literal ' the '
+# becomes '. ' — identical non-overlapping left-to-right replacement in the
+# Java and DuckDB regex engines.
+_SENT_SQL = "regexp_replace(text, ' the ', '. ', 'g')"
+_SENT_IDX_SPLIT_T = f"(SELECT doc_id, {_SENT_SQL} AS text FROM documents WHERE doc_id % 7 = 0)"
+_SENT_IDX_CORPUS_T = f"(SELECT doc_id, {_SENT_SQL} AS text FROM documents WHERE doc_id % 7 <> 0)"
+
+
+def _sent_idx_split(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.col("text"), " the ", ". ").alias("text")
+    )
+    return docs.filter(F.col("doc_id") % 7 != 0), docs.filter(F.col("doc_id") % 7 == 0)
+
+
+def _q_sentence_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, prior = _sent_idx_split(spark, sf_dir)
+    df = sentence_dedup.apply_with_index(
+        corpus, sentence_dedup.build_index(prior), only_dedup_in_index=True
+    )
+    return df.select("doc_id", "sentence_dedup_text", "sentence_dedup_keep")
+
+
+def _q_sentence_index_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, prior = _sent_idx_split(spark, sf_dir)
+    df = sentence_dedup.apply_with_index(
+        corpus, sentence_dedup.build_index(prior), only_dedup_in_index=False
+    )
+    return df.select("doc_id", "sentence_dedup_text", "sentence_dedup_keep")
+
+
 def _q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash.fingerprints(load(spark, sf_dir, "documents"))
 
@@ -749,6 +801,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bloom_dedup": (_q_bloom_dedup, bloom_dedup.oracle_sql()),
     "exact_substrings": (_q_exact_substrings, exact_substrings.oracle_sql(length=20)),
     "url_dedup": (_q_url_dedup, _oracle_url_dedup()),
+    "url_index_dedup": (
+        _q_url_index_dedup,
+        url_dedup.oracle_sql_index_dedup(
+            _URL_IDX_CORPUS_T, _URL_IDX_SPLIT_T, "url",
+            priority_expr="n_chars", only_dedup_in_index=False,
+        ),
+    ),
     "pii_scrub": (_q_pii_scrub, pii.oracle_sql(text_expr=_PII_TEXT_SQL)),
     "minhash_signatures": (_q_minhash_signatures, minhash.oracle_sql_signatures()),
     "minhash_pairs": (_q_minhash_pairs, minhash.oracle_sql_pairs()),
@@ -775,6 +834,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winnow_fingerprints": (_q_winnow_fingerprints, winnowing.oracle_sql_fingerprints()),
     "winnow_pairs": (_q_winnow_pairs, winnowing.oracle_sql_pairs()),
     "sentence_dedup": (_q_sentence_dedup, sentence_dedup.oracle_sql()),
+    "sentence_index_dedup": (
+        _q_sentence_index_dedup,
+        sentence_dedup.oracle_sql_index_dedup(
+            _SENT_IDX_CORPUS_T, _SENT_IDX_SPLIT_T, only_dedup_in_index=True
+        ),
+    ),
+    "sentence_index_dedup_full": (
+        _q_sentence_index_dedup_full,
+        sentence_dedup.oracle_sql_index_dedup(
+            _SENT_IDX_CORPUS_T, _SENT_IDX_SPLIT_T, only_dedup_in_index=False
+        ),
+    ),
     "extract_html": (_q_extract_html, extract.oracle_sql("documents", _HTML_SQL)),
     "extract_readability": (
         _q_extract_readability,

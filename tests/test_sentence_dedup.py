@@ -66,3 +66,67 @@ def test_oracle_parity(spark, corpus):
     )
     d = sorted(tuple(r) for r in con.execute(sentence_dedup.oracle_sql()).fetchall())
     assert s == d
+
+
+# --- cross-dump index mode (reference index_folder/only_dedup_in_index) ------
+
+
+def test_index_true_mode_adjacency_quirk(spark, corpus):
+    """Index built from a prior doc containing S: only the FIRST corpus
+    occurrence of each indexed span is removed (doc 0 loses S, doc 1 keeps
+    it — corpus-corpus duplicates are NOT removed in this mode), matching
+    the reference find loop's last-is-from-index adjacency rule."""
+    prior = spark.createDataFrame([(100, S)], "doc_id long, text string")
+    idx = sentence_dedup.build_index(prior)
+    out = {
+        r.doc_id: r
+        for r in sentence_dedup.apply_with_index(
+            corpus, idx, only_dedup_in_index=True
+        ).collect()
+    }
+    # doc 0 (min id) loses the indexed S spans but keeps its unique EXTRA tail
+    assert S.split(". ")[0] not in out[0].sentence_dedup_text
+    assert "A completely new sentence" in out[0].sentence_dedup_text
+    # doc 1 keeps S whole: its occurrences were adjacent to doc 0, not the index
+    assert S.split(". ")[0] in out[1].sentence_dedup_text
+    assert out[1].sentence_dedup_keep
+    # untouched docs unaffected
+    assert out[2].sentence_dedup_keep and out[2].sentence_dedup_text.startswith("Unrelated")
+
+
+def test_index_full_mode_removes_every_indexed_occurrence(spark, corpus):
+    """only_dedup_in_index=False removes EVERY corpus occurrence of an
+    indexed span (unlike self-dedup, which keeps the first) and self-dedups
+    the rest."""
+    prior = spark.createDataFrame([(100, S)], "doc_id long, text string")
+    idx = sentence_dedup.build_index(prior)
+    out = {
+        r.doc_id: r
+        for r in sentence_dedup.apply_with_index(
+            corpus, idx, only_dedup_in_index=False
+        ).collect()
+    }
+    first = S.split(". ")[0]
+    assert first not in out[0].sentence_dedup_text  # removed via index
+    assert first not in out[1].sentence_dedup_text  # removed too (no survivor)
+    assert "A completely new sentence" in out[0].sentence_dedup_text
+    assert out[2].sentence_dedup_keep
+
+
+def test_index_empty_index_is_identity_for_true_mode(spark, corpus):
+    prior = spark.createDataFrame(
+        [(100, "Nothing in common here at all. Second unrelated sentence follows. Third one too.")],
+        "doc_id long, text string",
+    )
+    idx = sentence_dedup.build_index(prior)
+    base = {r.doc_id: r.sentence_dedup_text for r in sentence_dedup.apply(corpus).collect()}
+    t = {
+        r.doc_id: r.sentence_dedup_text
+        for r in sentence_dedup.apply_with_index(corpus, idx, only_dedup_in_index=True).collect()
+    }
+    # True mode with a non-matching index removes nothing (NOT even self-dups)
+    orig = {i: t_ for i, t_ in DOCS}
+    for i in t:
+        assert t[i] == orig[i]
+    # sanity: self-dedup (no index) does rewrite doc 1
+    assert base[1] != orig[1]
