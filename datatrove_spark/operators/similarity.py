@@ -309,6 +309,107 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    — cluster embeddings into k cells, compute pairwise cosine only WITHIN
+    each cell, and keep one representative per group of semantically
+    duplicate vectors. Beyond-reference (datatrove has no embedding ops);
+    completes the dedup taxonomy's semantic tier above exact/minhash/simhash.
+
+    Spark shape: one Arrow kernel pass assigns cells (coarse centroids = the
+    n_centroids lowest-id vectors, the same deterministic stand-in for the
+    offline k-means artifact as ivf_topk — swap trained centroids in without
+    touching the plan); the cell table is persisted so the kernel runs once
+    although the within-cell self-join consumes it twice. That self-join is
+    keyed on the cell id — the clustering exists precisely to bound the
+    quadratic pair work to (n/k)^2 per cell, which is the paper's own design
+    (they run exhaustive cosine inside k-means clusters); at 10^9 vectors
+    the corpus shuffles once by cell and no cross-cell pair is ever
+    materialized. Duplicate groups close transitively through the shared
+    connected_components (edge-bounded driver union-find / distributed
+    label propagation); keep = component min id, the deterministic variant
+    of the paper's keep-one-per-group."""
+    import numpy as np
+
+    from datatrove_spark.operators.minhash import connected_components
+
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, to_double_array(F.col(vec_col)).alias("__c"))
+        .orderBy(id_col)
+        .collect()
+    )
+    cents = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
+    cell1 = _ivf_cell_udf(cents)
+    cells = corpus.select(
+        F.col(id_col), F.col(vec_col), cell1(F.col(vec_col)).alias("cell")
+    ).persist()
+    left = cells.select("cell", F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    right = cells.select("cell", F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    edges = (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(_cos(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("a", "b")
+    )
+    comp = connected_components(edges)
+    out = corpus.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+    return (
+        out.withColumn("dup_of", F.when(F.col("rep") != F.col(id_col), F.col("rep")))
+        .withColumn("semdedup_keep", F.col("dup_of").isNull())
+        .drop("rep")
+    )
+
+
+def oracle_sql_semdedup(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> str:
+    """Same semantics: lowest-n-id centroids, left-to-right float64 L2 fold,
+    ties to the smaller centroid id, within-cell exact cosine, recursive
+    min-reachable-id components."""
+    l2 = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> (v[i]::DOUBLE - cv[i]::DOUBLE) * (v[i]::DOUBLE - cv[i]::DOUBLE)))"
+    )
+    cos = _sql_cos("l.v", "r.v")
+    return f"""
+WITH RECURSIVE cents AS (
+  SELECT {id_col} AS cid, {vec_col} AS cv FROM {table} WHERE {id_col} < {n_centroids}
+), assign AS (
+  SELECT e.{id_col} AS id, e.v, cents.cid,
+         row_number() OVER (PARTITION BY e.{id_col} ORDER BY {l2} ASC, cents.cid ASC) AS rnk
+  FROM (SELECT {id_col}, {vec_col} AS v FROM {table}) e CROSS JOIN cents
+), ccells AS (
+  SELECT id, v, cid AS cell FROM assign WHERE rnk = 1
+), prs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM ccells l JOIN ccells r ON l.cell = r.cell AND l.id < r.id
+  WHERE {cos} >= {threshold}
+), edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT rc.x, e.y FROM reach rc JOIN edges e ON rc.y = e.x
+),
+rep AS (SELECT x AS node, least(min(y), x) AS rep FROM reach GROUP BY x)
+SELECT t.{id_col},
+  CASE WHEN rep.rep IS NOT NULL AND rep.rep != t.{id_col} THEN rep.rep END AS dup_of,
+  (rep.rep IS NULL OR rep.rep = t.{id_col}) AS semdedup_keep
+FROM {table} t LEFT JOIN rep ON t.{id_col} = rep.node
+""".strip()
+
+
 def neardup_pairs_rowwise(
     df: DataFrame,
     threshold: float = 0.95,

@@ -778,6 +778,11 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = similarity.semdedup(load(spark, sf_dir, "embeddings"), threshold=0.45)
+    return df.select("vec_id", "dup_of", "semdedup_keep")
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gopher_quality": (_q_gopher_quality, gopher_quality.oracle_sql()),
@@ -829,6 +834,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk": (_q_ann_topk, similarity.oracle_sql_ann_topk()),
     "ivf_topk": (_q_ivf_topk, similarity.oracle_sql_ivf_topk()),
     "embedding_neardup": (_q_embedding_neardup, similarity.oracle_sql_neardup_pairs(threshold=0.45)),
+    "semdedup": (_q_semdedup, similarity.oracle_sql_semdedup(threshold=0.45)),
     "dsir_scores": (_q_dsir_scores, dsir.oracle_sql_scores()),
     "dsir_select": (_q_dsir_select, dsir.oracle_sql_topk()),
     "winnow_fingerprints": (_q_winnow_fingerprints, winnowing.oracle_sql_fingerprints()),

@@ -84,3 +84,77 @@ def test_plan_single_corpus_udf_and_broadcast(emb, queries):
     # join here means the corpus vector table was shuffled (or broadcast) by
     # the candidate join — fatal at 10^9 vectors
     assert "SortMergeJoin" not in plan, plan
+
+
+# --- SemDeDup (embedding-cluster semantic dedup) ------------------------------
+
+
+def test_semdedup_removes_within_cell_dups_and_keeps_min(spark):
+    """Identical and near-identical vectors land in the same cell and dedup
+    to the min-id representative; orthogonal vectors survive."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "vec_id": pd.Series([0, 1, 2, 3, 4, 5], dtype="int64"),
+            "embedding": [
+                [1.0, 0.0, 0.0, 0.0],   # centroid 0
+                [0.0, 1.0, 0.0, 0.0],   # centroid 1
+                [1.0, 0.001, 0.0, 0.0], # near-dup of 0 (same cell)
+                [1.0, 0.0, 0.0, 0.0],   # exact dup of 0
+                [0.0, 1.0, 0.0, 0.0],   # exact dup of 1
+                [0.0, 0.0, 1.0, 0.0],   # orthogonal to both centroids
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r.vec_id: (r.semdedup_keep, r.dup_of)
+        for r in similarity.semdedup(df, n_centroids=2, threshold=0.95).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[2] == (False, 0) and out[3] == (False, 0)  # transitive group -> min id 0
+    assert out[1] == (True, None) and out[4] == (False, 1)
+    assert out[5][0] is True  # orthogonal vector survives its cell
+
+
+def test_semdedup_cross_cell_pairs_never_compared(spark):
+    """A pair of identical vectors assigned to DIFFERENT cells is NOT
+    deduped — the within-cell restriction is the algorithm's contract
+    (and what bounds the quadratic pair work at scale)."""
+    import pandas as pd
+
+    # centroids are vec_id 0 and 1; vec 2 equals centroid 0, vec 3 equals
+    # centroid 1 -> different cells, never compared even though cos(2,2)=1
+    rows = pd.DataFrame(
+        {
+            "vec_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+            "embedding": [
+                [1.0, 0.0],
+                [0.0, 1.0],
+                [1.0, 0.0],
+                [0.0, 1.0],
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in similarity.semdedup(df, n_centroids=2, threshold=0.95).collect()}
+    # 2 dups 0 (same cell), 3 dups 1 (same cell) — but 0/1 themselves stay
+    assert not out[2].semdedup_keep and out[2].dup_of == 0
+    assert not out[3].semdedup_keep and out[3].dup_of == 1
+    assert out[0].semdedup_keep and out[1].semdedup_keep
+
+
+def test_semdedup_kernel_runs_once(spark, emb):
+    """The cell-assignment kernel is persisted: the final plan reads the
+    cell table from cache for both sides of the within-cell self-join."""
+    import contextlib
+    import io
+
+    df = similarity.semdedup(emb, threshold=0.45)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue().split("\n\n")[0]
+    assert "LocalTableScan" in plan  # component labels, never a pickled RDD
+    assert "Scan ExistingRDD" not in plan
