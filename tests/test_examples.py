@@ -78,3 +78,20 @@ def test_tokenize_from_hf_example(spark, tmp_path):
 
     m = th.run(spark, DOCS, str(tmp_path))
     assert m["docs"] == 500 and m["ds_shards"] == 4 and m["hub_shards"] >= 1
+
+
+def test_cross_dump_dedup_example(spark, tmp_path):
+    from examples import cross_dump_dedup as xd
+
+    stats = xd.run(spark, "/root/testdata/sf0.001/documents.parquet", str(tmp_path / "xd"))
+    assert stats["dump_0"]["in"] > 0 and stats["index_rows"] > 0
+    for i in range(3):
+        d = stats[f"dump_{i}"]
+        assert 0 < d["kept"] <= d["in"]
+    # a duplicate of an earlier dump's kept doc must not survive a later dump:
+    # total kept across dumps <= plain full-corpus dedup kept + cross-dump slack
+    import pyspark.sql.functions as F  # noqa: F401
+
+    total_kept = sum(stats[f"dump_{i}"]["kept"] for i in range(3))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert total_kept <= docs.count()
