@@ -94,7 +94,12 @@ def cpu_probe() -> float:
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
     )
-    return float(r.stdout.strip().splitlines()[-1])
+    lines = r.stdout.strip().splitlines()
+    if r.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"cpu_probe subprocess failed (rc={r.returncode}): {r.stderr[-2000:]}"
+        )
+    return float(lines[-1])
 
 
 def _probe_worker() -> None:
@@ -281,6 +286,17 @@ def main() -> None:
             "efficiency_N_to_4N": round(perf[hi] / (perf[lo] * (hi / lo)), 3),
             "methodology": "each level affinity-pinned to exactly N cores (JVM+python workers) before JVM start",
         }
+
+    # Machine-readable per-round record: the driver's BENCH_r{N}.json has
+    # twice truncated its captured tail mid-JSON (r2, r3), losing the
+    # per-query suite dict — so every run also writes the full result object
+    # to a file (commit the definitive run as bench_results_r{N}.json).
+    results_path = os.environ.get(
+        "BENCH_RESULTS_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
+    )
+    with open(results_path, "w") as f:
+        json.dump(out, f, indent=2)
 
     print(json.dumps(out))
 

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 
 def to_double_array(c: Column) -> Column:
-    return F.transform(c, lambda x: x.cast("double"))
+    # native Cast (whole-stage codegen), not F.transform(lambda) — the lambda
+    # form plans an interpreted HOF projection per row for the same widening
+    return c.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:

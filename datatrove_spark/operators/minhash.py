@@ -509,7 +509,11 @@ def apply_with_index(
     entirely, see build_index). In full mode the signature table is
     persisted so the Arrow kernel scans the corpus text once across the edge
     job and the final labeling (the reference materializes the same thing as
-    its stage-1 .minhash.sig files)."""
+    its stage-1 .minhash.sig files). The persist is intentionally left to
+    the session: the returned DataFrame is lazy, so there is no safe point
+    inside this function to unpersist — callers that loop over dumps in one
+    long-lived session (examples/cross_dump_dedup.py) should
+    spark.catalog.clearCache() between iterations."""
     sigs = signatures(df, id_col, text_col, cfg)
     idx = index.select("bucket_id", "sig")
     if only_dedup_in_index:

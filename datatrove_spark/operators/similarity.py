@@ -251,6 +251,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids=None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus vectors are indexed into inverted
     lists by nearest coarse centroid (write-side, like a real IVF index);
@@ -266,20 +267,24 @@ def ivf_topk(
     that offline artifact so the whole query is cross-engine reproducible
     (a distributed k-means mean is float-summation-order-dependent and can
     not be oracled exactly). Swap in trained centroids via the `centroids`
-    argument of a production wrapper without touching the plan shape.
+    argument — a (K, dim) array whose row index is the cell id — without
+    touching the plan shape (tests/test_ivf.py exercises this path).
 
     The centroid table is collected to the driver (bounded: n_centroids x dim
     float64, a few MB even at 65k centroids) and embedded in the Arrow kernel
     closure — the assignment kernel is one numpy pass, never a per-row HOF."""
     import numpy as np
 
-    cent_rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, to_double_array(F.col(vec_col)).alias("__c"))
-        .orderBy(id_col)
-        .collect()
-    )
-    cents = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
+    if centroids is None:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(id_col, to_double_array(F.col(vec_col)).alias("__c"))
+            .orderBy(id_col)
+            .collect()
+        )
+        cents = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
 
     cell1 = _ivf_cell_udf(cents)
     cellN = _ivf_assign_udf(cents, n_probe)
@@ -309,12 +314,133 @@ def ivf_topk(
     )
 
 
+def assign_cells(
+    corpus: DataFrame, cents, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment via the Arrow kernel.
+    `cents` is a (K, dim) float64 array; row index = cell id."""
+    import numpy as np
+
+    cell1 = _ivf_cell_udf(np.asarray(cents, dtype=np.float64))
+    return corpus.select(
+        F.col(id_col), F.col(vec_col), cell1(F.col(vec_col)).alias("cell")
+    )
+
+
+def _block_pair_kernel(threshold: float):
+    """mapInPandas generator over (items_l, items_r, same) grid rows: each row
+    carries two packed blocks of (vid, vec) structs; the kernel emits every
+    (a, b) pair with cosine >= threshold as one numpy score matrix per row.
+    Float parity with the row-wise HOF form / SQL oracle: dots and norms
+    accumulate dimension-by-dimension (columnwise outer-product adds), which
+    reproduces the strict left-to-right float64 fold per element. Shared by
+    neardup_pairs (global grid) and cell_neardup_edges (per-cell grid)."""
+    from collections.abc import Iterator
+
+    def cells(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in pdfs:
+            for items_l, items_r, same in zip(pdf["items_l"], pdf["items_r"], pdf["same"]):
+                ids_l = np.array([it["vid"] for it in items_l], dtype=np.int64)
+                ids_r = np.array([it["vid"] for it in items_r], dtype=np.int64)
+                L = np.array([np.asarray(it["vec"], dtype=np.float64) for it in items_l])
+                R = np.array([np.asarray(it["vec"], dtype=np.float64) for it in items_r])
+                dots = np.zeros((len(ids_l), len(ids_r)))
+                nl = np.zeros(len(ids_l))
+                nr = np.zeros(len(ids_r))
+                for j in range(L.shape[1]):  # columnwise: exact left-fold order
+                    dots += L[:, j, None] * R[None, :, j]
+                    nl += L[:, j] * L[:, j]
+                    nr += R[:, j] * R[:, j]
+                scores = dots / (np.sqrt(nl)[:, None] * np.sqrt(nr)[None, :])
+                mask = scores >= threshold
+                if same:
+                    # diagonal cell: upper triangle only
+                    mask &= ids_l[:, None] < ids_r[None, :]
+                # off-diagonal cells hold disjoint id sets: keep every match,
+                # normalized to (min, max) — id order does not follow block order
+                ai, bi = np.nonzero(mask)
+                if len(ai):
+                    a = np.minimum(ids_l[ai], ids_r[bi])
+                    b = np.maximum(ids_l[ai], ids_r[bi])
+                    yield pd.DataFrame({"a": a, "b": b})
+
+    return cells
+
+
+def cell_neardup_edges(
+    cells_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """(a, b) pairs with cosine >= threshold WITHIN each cell, as a per-cell
+    block-matrix product: vectors pack into (cell, blk) chunks, the grid
+    self-joins on cell equality (blk_l <= blk_r upper triangle), and each
+    grid row computes one numpy score matrix — the same Arrow kernel as
+    neardup_pairs, restricted to within-cell pairs. The interpreted-HOF
+    rendering of the same edges is semdedup_edges_rowwise (cross-check only).
+
+    Scale: the only shuffle is the (cell, blk) pack; a hot cell's quadratic
+    work splits across n_blocks*(n_blocks+1)/2 independent grid rows, so one
+    oversized k-means cell cannot serialize onto a single task."""
+    packed = (
+        cells_df.select(
+            F.col(cell_col).alias("__cell"),
+            F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
+            F.col(id_col).alias("vid"),
+            to_double_array(F.col(vec_col)).alias("vec"),
+        )
+        .groupBy("__cell", "blk")
+        .agg(F.collect_list(F.struct("vid", "vec")).alias("items"))
+    )
+    grid = (
+        packed.alias("l")
+        .join(packed.alias("r"), ["__cell"])
+        .filter(F.col("l.blk") <= F.col("r.blk"))
+        .select(
+            F.col("l.items").alias("items_l"),
+            F.col("r.items").alias("items_r"),
+            (F.col("l.blk") == F.col("r.blk")).alias("same"),
+        )
+    )
+    return grid.mapInPandas(_block_pair_kernel(threshold), "a long, b long")
+
+
+def semdedup_edges_rowwise(
+    cells_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Row-level within-cell self-join rendering (executable documentation /
+    cross-check of cell_neardup_edges): interpreted HOF cosine per pair —
+    the construct the block kernel replaces on semdedup's dominant term."""
+    left = cells_df.select(
+        F.col(cell_col).alias("__cell"), F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
+    )
+    right = cells_df.select(
+        F.col(cell_col).alias("__cell"), F.col(id_col).alias("b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        left.join(right, "__cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(_cos(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("a", "b")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
     threshold: float = 0.95,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     — cluster embeddings into k cells, compute pairwise cosine only WITHIN
@@ -324,13 +450,15 @@ def semdedup(
 
     Spark shape: one Arrow kernel pass assigns cells (coarse centroids = the
     n_centroids lowest-id vectors, the same deterministic stand-in for the
-    offline k-means artifact as ivf_topk — swap trained centroids in without
-    touching the plan); the cell table is persisted so the kernel runs once
-    although the within-cell self-join consumes it twice. That self-join is
-    keyed on the cell id — the clustering exists precisely to bound the
-    quadratic pair work to (n/k)^2 per cell, which is the paper's own design
-    (they run exhaustive cosine inside k-means clusters); at 10^9 vectors
-    the corpus shuffles once by cell and no cross-cell pair is ever
+    offline k-means artifact as ivf_topk — swap trained centroids in via the
+    `centroids` argument without touching the plan); the within-cell pairwise
+    cosine runs as the block-matrix Arrow kernel (cell_neardup_edges): vectors
+    pack once by (cell, blk) and each grid row computes a numpy score matrix —
+    never the interpreted per-pair HOF fold (that rendering survives as
+    semdedup_edges_rowwise, cross-check only). The clustering exists precisely
+    to bound the quadratic pair work to (n/k)^2 per cell, which is the paper's
+    own design (they run exhaustive cosine inside k-means clusters); at 10^9
+    vectors the corpus shuffles once by cell and no cross-cell pair is ever
     materialized. Duplicate groups close transitively through the shared
     connected_components (edge-bounded driver union-find / distributed
     label propagation); keep = component min id, the deterministic variant
@@ -339,25 +467,18 @@ def semdedup(
 
     from datatrove_spark.operators.minhash import connected_components
 
-    cent_rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, to_double_array(F.col(vec_col)).alias("__c"))
-        .orderBy(id_col)
-        .collect()
-    )
-    cents = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
-    cell1 = _ivf_cell_udf(cents)
-    cells = corpus.select(
-        F.col(id_col), F.col(vec_col), cell1(F.col(vec_col)).alias("cell")
-    ).persist()
-    left = cells.select("cell", F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
-    right = cells.select("cell", F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
-    edges = (
-        left.join(right, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .filter(_cos(F.col("__va"), F.col("__vb")) >= threshold)
-        .select("a", "b")
-    )
+    if centroids is None:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(id_col, to_double_array(F.col(vec_col)).alias("__c"))
+            .orderBy(id_col)
+            .collect()
+        )
+        cents = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+    cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    edges = cell_neardup_edges(cells, threshold, id_col=id_col, vec_col=vec_col)
     comp = connected_components(edges)
     out = corpus.join(comp.withColumnRenamed("node", id_col), id_col, "left")
     return (
@@ -447,8 +568,6 @@ def neardup_pairs(
     B grows with the corpus so each cell's matrices stay executor-sized.
     (For billion-vector corpora the LSH path — lsh_buckets candidates +
     this verifier — replaces the full grid.)"""
-    from collections.abc import Iterator
-
     packed = (
         df.select(
             F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
@@ -470,37 +589,7 @@ def neardup_pairs(
         )
         .repartition(n_blocks * (n_blocks + 1) // 2)
     )
-
-    def cells(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in pdfs:
-            for items_l, items_r, same in zip(pdf["items_l"], pdf["items_r"], pdf["same"]):
-                ids_l = np.array([it["vid"] for it in items_l], dtype=np.int64)
-                ids_r = np.array([it["vid"] for it in items_r], dtype=np.int64)
-                L = np.array([np.asarray(it["vec"], dtype=np.float64) for it in items_l])
-                R = np.array([np.asarray(it["vec"], dtype=np.float64) for it in items_r])
-                dots = np.zeros((len(ids_l), len(ids_r)))
-                nl = np.zeros(len(ids_l))
-                nr = np.zeros(len(ids_r))
-                for j in range(L.shape[1]):  # columnwise: exact left-fold order
-                    dots += L[:, j, None] * R[None, :, j]
-                    nl += L[:, j] * L[:, j]
-                    nr += R[:, j] * R[:, j]
-                scores = dots / (np.sqrt(nl)[:, None] * np.sqrt(nr)[None, :])
-                mask = scores >= threshold
-                if same:
-                    # diagonal cell: upper triangle only
-                    mask &= ids_l[:, None] < ids_r[None, :]
-                # off-diagonal cells hold disjoint id sets: keep every match,
-                # normalized to (min, max) — id order does not follow block order
-                ai, bi = np.nonzero(mask)
-                if len(ai):
-                    a = np.minimum(ids_l[ai], ids_r[bi])
-                    b = np.maximum(ids_l[ai], ids_r[bi])
-                    yield pd.DataFrame({"a": a, "b": b})
-
-    return grid.mapInPandas(cells, "a long, b long")
+    return grid.mapInPandas(_block_pair_kernel(threshold), "a long, b long")
 
 
 # --- DuckDB oracles ----------------------------------------------------------

@@ -82,6 +82,16 @@ def apply_with_index(
     equally redundant); with only_dedup_in_index=False the non-indexed url
     groups additionally keep only their highest-priority doc as in `apply`.
 
+    Note the False mode therefore ALSO diverges from reference-observed
+    output, beyond just fixing the dead-code match: because the reference's
+    index entries are inert, its False mode still KEEPS the highest-priority
+    doc of an indexed url group (the group behaves as if unindexed), whereas
+    this implementation drops every doc of an indexed group — a migrating
+    user gets a strictly smaller kept set here whenever indexed urls recur
+    in the corpus. Intended-semantics reading: the canonical copy already
+    lives in the indexed corpus, so keeping another copy re-admits the
+    duplicate the index exists to suppress.
+
     Scale shape: one adaptive join of (url_hash) against the index — never
     F.broadcast-forced — plus, in full mode, the same single window shuffle
     as `apply`."""

@@ -35,13 +35,16 @@ def run(spark: SparkSession, input_path: str, out_dir: str, n_dumps: int = 3) ->
     dumps = [docs.filter(F.col("doc_id") % n_dumps == i) for i in range(n_dumps)]
 
     stats = {}
-    index_path = os.path.join(out_dir, "index")
+    # Versioned index paths: dump i reads index_v{i}, writes index_v{i+1}.
+    # A crash mid-write never touches the live version (the reader of v{i}
+    # simply reruns), and no read-back copy pass or in-place swap is needed.
+    index_v = lambda i: os.path.join(out_dir, f"index_v{i:02d}")  # noqa: E731
     for i, dump in enumerate(dumps):
         if i == 0:
             # first dump: plain in-dump dedup, then bootstrap the index
             kept = minhash.apply(dump).filter("minhash_keep").drop("dup_of", "minhash_keep")
         else:
-            index = spark.read.parquet(index_path)
+            index = spark.read.parquet(index_v(i))
             deduped = minhash.apply_with_index(
                 dump, index, only_dedup_in_index=False
             )
@@ -54,12 +57,14 @@ def run(spark: SparkSession, input_path: str, out_dir: str, n_dumps: int = 3) ->
         # the reference's create_index_name append, relationally)
         new_index = minhash.build_index(kept)
         if i > 0:
-            new_index = spark.read.parquet(index_path).union(new_index).distinct()
-        new_index.write.mode("overwrite").parquet(index_path + ".next")
-        # atomic-ish swap for the demo; production writes versioned indexes
-        spark.read.parquet(index_path + ".next").write.mode("overwrite").parquet(index_path)
+            new_index = spark.read.parquet(index_v(i)).union(new_index).distinct()
+        new_index.write.mode("overwrite").parquet(index_v(i + 1))
         stats[f"dump_{i}"] = {"in": dump.count(), "kept": kept.count()}
-    stats["index_rows"] = spark.read.parquet(index_path).count()
+        # apply_with_index (full mode) persists the dump's signature table so
+        # the corpus text scans once; drop it before the next dump iteration
+        # so a long multi-dump loop doesn't accumulate cached tables
+        spark.catalog.clearCache()
+    stats["index_rows"] = spark.read.parquet(index_v(n_dumps)).count()
     return stats
 
 

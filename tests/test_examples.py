@@ -88,10 +88,17 @@ def test_cross_dump_dedup_example(spark, tmp_path):
     for i in range(3):
         d = stats[f"dump_{i}"]
         assert 0 < d["kept"] <= d["in"]
-    # a duplicate of an earlier dump's kept doc must not survive a later dump:
-    # total kept across dumps <= plain full-corpus dedup kept + cross-dump slack
-    import pyspark.sql.functions as F  # noqa: F401
+    # falsifiable cross-dump property: later dumps drop duplicates of earlier
+    # KEPT docs via the index, so their kept counts sit strictly below their
+    # in counts (sf0.001 documents has known cross-stripe duplicates), and
+    # the union of survivors equals plain full-corpus minhash dedup — on this
+    # dataset the banded collisions close identically either way (163+162+151
+    # = 476 = full-corpus kept)
+    from datatrove_spark.operators import minhash
 
+    assert stats["dump_1"]["kept"] < stats["dump_1"]["in"]
+    assert stats["dump_2"]["kept"] < stats["dump_2"]["in"]
     total_kept = sum(stats[f"dump_{i}"]["kept"] for i in range(3))
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    assert total_kept <= docs.count()
+    full_kept = minhash.apply(docs).filter("minhash_keep").count()
+    assert total_kept == full_kept

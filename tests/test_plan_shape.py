@@ -213,6 +213,56 @@ def test_minhash_dedup_labels_are_local_relation(pages):
     assert "SortMergeJoin" not in p, p
 
 
+def test_index_membership_join_adapts_to_index_size(spark, pages):
+    """apply_with_index's membership semi-join is left to AQE, never
+    F.broadcast-forced (minhash.py docstring promise): a small prior-dump
+    index broadcasts at runtime, but when the index side exceeds the
+    broadcast threshold the SAME code hash-partition-joins — the behavior a
+    corpus-sized (billions of band keys) index needs at 100 TB. Both sides
+    asserted on the EXECUTED adaptive plan."""
+    from datatrove_spark.operators import minhash
+
+    index = minhash.build_index(pages.limit(200))
+
+    def final_plan(df):
+        df.collect()  # noop write would execute a sibling QueryExecution
+        p = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        final = p.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final, final
+        return final
+
+    import re
+
+    # small index: AQE converts the semi-join to a runtime broadcast
+    p_small = final_plan(minhash.apply_with_index(pages, index))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p_small), p_small
+
+    # corpus-sized index (simulated by dropping the broadcast thresholds):
+    # the identical plan falls back to a partitioned semi-join — proof the
+    # broadcast above was a size decision, not a forced hint
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        p_big = final_plan(minhash.apply_with_index(pages, index))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*LeftSemi", p_big), p_big
+    assert not re.search(r"BroadcastHashJoin .*LeftSemi", p_big), p_big
+
+
 def test_readability_extract_is_projection_only(pages):
     """Native readability extraction is a pure narrow map: no Exchange."""
     from datatrove_spark.operators import readability
