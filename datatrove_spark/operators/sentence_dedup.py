@@ -77,19 +77,80 @@ def _spans(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def py_remove_spans(
+    text: str | None, remove_idx, cfg: SentenceDedupConfig
+) -> tuple[str | None, bool | None]:
+    """Per-doc rewrite kernel (matches _remove_spans_native's expression
+    semantics value-for-value, NULL included): drop flagged sentences,
+    rebuild text, recount from the rebuilt text."""
+    from datatrove_spark.reference_impl.filters import sentences, words
+
+    if text is None:
+        # match the declarative NULL semantics under this session's legacy
+        # (non-ANSI) config: array_join(NULL) -> NULL text, but
+        # size(NULL) = -1 -> (-1 >= min) -> keep FALSE, not NULL
+        return None, False
+    rem = set(remove_idx) if remove_idx is not None else ()
+    ss = sentences(text)
+    kept = [s for i, s in enumerate(ss) if i not in rem]
+    new_text = "".join(kept)
+    # the oracle recounts sentences from the rebuilt text, but re-splitting a
+    # concatenation of raw matches reproduces exactly those matches (every
+    # match starts with a non-terminator and ends with a terminator run, so
+    # the piece boundaries land precisely between consecutive kept matches)
+    # -> len(kept) == len(sentences(new_text)), one split saved. Words must
+    # still recount from new_text: ""-joining can merge boundary words.
+    keep = len(kept) >= cfg.min_sentences and len(words(new_text)) >= cfg.min_words
+    return new_text, keep
+
+
 def _remove_spans(
     df: DataFrame, dup_spans: DataFrame, id_col: str, text_col: str, cfg: SentenceDedupConfig
 ) -> DataFrame:
     """Shared filter stage: drop the flagged span occurrences' sentences,
-    rebuild text, keep docs with enough surviving sentences/words."""
-    n = cfg.span
-    covered = (
+    rebuild text, keep docs with enough surviving sentences/words — one
+    Arrow kernel pass per doc. The declarative rendering
+    (_remove_spans_native) is retained as executable documentation: its
+    rewrite expression is cloned three times per row by CollapseProject
+    (text, sentence recount, word recount) and each clone splits sentences
+    with the backtracking regex — O(n^2) per doc on terminator-free text
+    (measured 36 s vs 4 s over 500k unpunctuated docs, BENCH.md round 4)."""
+    covered = _covered(dup_spans, id_col, cfg.span)
+    out = df.join(covered, id_col, "left")
+
+    @F.pandas_udf("t string, k boolean")
+    def rw(texts: pd.Series, removes: pd.Series) -> pd.DataFrame:
+        from datatrove_spark.operators.sentence_dedup import py_remove_spans
+
+        pairs = [py_remove_spans(t, r, cfg) for t, r in zip(texts, removes)]
+        return pd.DataFrame({"t": [p[0] for p in pairs], "k": [p[1] for p in pairs]})
+
+    res = rw(F.col(text_col), F.col("remove_idx"))
+    return (
+        out.withColumn("__rw", res)
+        .withColumn(f"{NAME}_text", F.col("__rw.t"))
+        .withColumn(f"{NAME}_keep", F.col("__rw.k"))
+        .drop("remove_idx", "__rw")
+    )
+
+
+def _covered(dup_spans: DataFrame, id_col: str, n: int) -> DataFrame:
+    return (
         dup_spans.select(
             id_col, F.explode(F.sequence(F.col("sent_idx"), F.col("sent_idx") + n - 1)).alias("ri")
         )
         .groupBy(id_col)
         .agg(F.collect_set("ri").alias("remove_idx"))
     )
+
+
+def _remove_spans_native(
+    df: DataFrame, dup_spans: DataFrame, id_col: str, text_col: str, cfg: SentenceDedupConfig
+) -> DataFrame:
+    """Declarative-expression rendering of _remove_spans (same values) —
+    executable documentation / cross-check only; see _remove_spans for why
+    the Arrow kernel is the hot path."""
+    covered = _covered(dup_spans, id_col, cfg.span)
     out = df.join(covered, id_col, "left").withColumn(
         "remove_idx", F.coalesce(F.col("remove_idx"), F.array().cast("array<int>"))
     )
@@ -99,8 +160,6 @@ def _remove_spans(
         lambda st: ~F.array_contains(F.col("remove_idx"), st["i"]),
     )
     new_text = F.array_join(F.transform(kept_sents, lambda st: st["s"]), "")
-    # recount from the rebuilt text (same rule as the SQL oracle; re-splitting
-    # a concatenation of raw matches reproduces exactly those matches)
     n_kept = F.size(T.sentences(new_text))
     n_words = F.size(T.words(new_text))
     keep = (n_kept >= cfg.min_sentences) & (n_words >= cfg.min_words)

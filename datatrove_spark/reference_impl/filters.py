@@ -51,8 +51,25 @@ def simplify_text(text: str) -> str:
     return s.strip()
 
 
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])(?=[^.!?])")
+
+
 def sentences(text: str | None) -> list[str]:
-    return _SENT_RE.findall(text or "")
+    """Byte-identical to _SENT_RE.findall (r'[^.!?]+[.!?]+') but LINEAR: the
+    findall form backtracks O(n^2) on terminator-free text (each start
+    position re-scans the remaining string before failing — measured 36 s vs
+    4 s over 500k unpunctuated docs, BENCH.md round 4). Splitting at the
+    zero-width terminator→non-terminator boundary instead cannot backtrack:
+    every piece is a maximal non-terminator run plus its trailing terminator
+    run; a match is exactly a piece that starts with a non-terminator and
+    ends with a terminator (the possibly-all-terminator first piece and the
+    unterminated trailing fragment drop, matching findall). Property-tested
+    equal to the regex in tests/test_fuzz_parity.py."""
+    if not text:
+        return []
+    return [
+        p for p in _SENT_SPLIT_RE.split(text) if p[-1] in ".!?" and p[0] not in ".!?"
+    ]
 
 
 def token_count(text: str) -> int:

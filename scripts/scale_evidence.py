@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Scale evidence for the dedup family: wall time + per-op shuffle volumes
+at sf0.1 (50k docs) and an sf1-equivalent (x10 replicated, 500k docs).
+
+Turns the "would survive 100x" plan audit into measured numbers: if shuffle
+bytes per input document stay ~constant from 1x to 10x while wall time grows
+sub-linearly on fixed cores, the shuffle shape is linear in the corpus (no
+quadratic pair materialization) — the property that decides survival at
+100 TB, where a quadratic term would dominate long before memory ran out.
+
+The corpus is the sf0.1 documents table replicated MULT times with remapped
+doc_ids (doc_id + r*10^7) and UNCHANGED text — worst-case duplication
+density: every sf0.1 dup group becomes a 10x-larger cross-replica group, so
+star-edge linearity (not all-pairs) inside hot groups is exactly what is
+being stressed. Shuffle metrics come from the Spark UI REST API
+(/api/v1/.../stages), summed over the stages each op ran — run with
+SPARK_UI=true (the script forces it).
+
+    SPARK_UI=true python scripts/scale_evidence.py --mults 1,10 \
+        --out /tmp/scale_evidence.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_UI", "true")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datatrove_spark import get_spark  # noqa: E402
+
+
+def corpus_path(spark, mult: int) -> str:
+    path = f"/tmp/scale_docs_{mult}x.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        reps = spark.range(mult).withColumnRenamed("id", "rep")
+        big = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        big.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def stage_metrics(spark) -> dict[int, dict]:
+    """stageId -> {shuffle_read, shuffle_write, input} bytes via the UI REST
+    API (attempt-0 rows; this workload doesn't retry stages)."""
+    url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{spark.sparkContext.applicationId}/stages"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = json.load(r)
+    return {
+        s["stageId"]: {
+            "shuffle_read": s.get("shuffleReadBytes", 0),
+            "shuffle_write": s.get("shuffleWriteBytes", 0),
+            "input": s.get("inputBytes", 0),
+        }
+        for s in stages
+        if s.get("attemptId", 0) == 0
+    }
+
+
+def _sentence_dedup(docs):
+    from datatrove_spark.operators import sentence_dedup
+
+    # the synthetic documents text carries no .!? punctuation, so the raw
+    # table yields ZERO 3-sentence spans and the whole operator folds to an
+    # identity projection (AQE empty-relation propagation — verified).
+    # Punctuate deterministically (frequent tokens end sentences) so the
+    # span/window/rewrite machinery actually runs at scale.
+    punct = docs.withColumn(
+        "text",
+        F.concat(F.regexp_replace("text", " (spark|data|value|query) ", ". "), F.lit(".")),
+    )
+    return sentence_dedup.apply(punct).select(
+        "doc_id", "sentence_dedup_text", "sentence_dedup_keep"
+    )
+
+
+OPS = {
+    "minhash_dedup": lambda spark, docs: __import__(
+        "datatrove_spark.operators.minhash", fromlist=["apply"]
+    ).apply(docs).select("doc_id", "dup_of", "minhash_keep"),
+    "minhash_index_dedup_full": lambda spark, docs: _index_full(docs),
+    "sentence_dedup": lambda spark, docs: _sentence_dedup(docs),
+}
+
+
+def _index_full(docs):
+    from datatrove_spark.operators import minhash
+
+    prior = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return minhash.apply_with_index(
+        corpus, minhash.build_index(prior), only_dedup_in_index=False
+    ).select("doc_id", "index_match", "dup_of", "minhash_keep")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,10")
+    ap.add_argument("--ops", default=",".join(OPS))
+    ap.add_argument("--out", default="/tmp/scale_evidence.json")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="scale-evidence")
+    results: dict[str, dict] = {}
+    warm = spark.read.parquet(corpus_path(spark, 1)).limit(200)
+    for op in args.ops.split(","):  # spin up JVM + Arrow python workers
+        OPS[op](spark, warm).write.format("noop").mode("overwrite").save()
+    for mult in [int(m) for m in args.mults.split(",")]:
+        docs = spark.read.parquet(corpus_path(spark, mult))
+        n_docs = docs.count()
+        for op in args.ops.split(","):
+            spark.catalog.clearCache()
+            before = stage_metrics(spark)
+            t0 = time.monotonic()
+            out = OPS[op](spark, docs)
+            out.write.format("noop").mode("overwrite").save()
+            wall = time.monotonic() - t0
+            time.sleep(2)  # let the UI store settle
+            after = stage_metrics(spark)
+            new = {k: v for k, v in after.items() if k not in before}
+            rec = {
+                "mult": mult,
+                "docs": n_docs,
+                "wall_s": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "stages": len(new),
+                "shuffle_write_mb": round(sum(v["shuffle_write"] for v in new.values()) / 2**20, 1),
+                "shuffle_read_mb": round(sum(v["shuffle_read"] for v in new.values()) / 2**20, 1),
+                "input_mb": round(sum(v["input"] for v in new.values()) / 2**20, 1),
+            }
+            rec["shuffle_write_bytes_per_doc"] = round(
+                sum(v["shuffle_write"] for v in new.values()) / n_docs, 1
+            )
+            results[f"{op}@{mult}x"] = rec
+            print(json.dumps({f"{op}@{mult}x": rec}))
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

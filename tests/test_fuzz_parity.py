@@ -175,3 +175,23 @@ def test_ngram_backend_equivalence():
         a = _ngram_checks_np(ws2, len(text), cfg)
         b = _ngram_checks_counter(ws2, len(text), cfg)
         assert a == b, f"trial {trial}: np={a} counter={b} text={text[:120]}"
+
+
+def test_sentences_linear_scan_matches_regex():
+    """ref.sentences is a linear scan replacing _SENT_RE.findall (which
+    backtracks O(n^2) on terminator-free text); they must agree byte-for-byte
+    on every fuzz doc plus terminator-adversarial shapes."""
+    import random
+
+    rng = random.Random(7)
+    cases = list(gen_docs()) + [
+        "", ".", "...", "?!.", "a", "a.", ".a", "a.b", "a.b!", "..a..b..",
+        "no terminators at all " * 50, ". leading", "trailing.", "mid.dle",
+        "!?.!?.", "é. ü! ñ?", "a" * 500 + ".", "." * 500,
+    ]
+    for _ in range(300):
+        cases.append(
+            "".join(rng.choice("ab .!?\n\t") for _ in range(rng.randint(0, 200)))
+        )
+    for t in cases:
+        assert ref.sentences(t) == ref._SENT_RE.findall(t), repr(t[:80])

@@ -130,3 +130,34 @@ def test_index_empty_index_is_identity_for_true_mode(spark, corpus):
         assert t[i] == orig[i]
     # sanity: self-dedup (no index) does rewrite doc 1
     assert base[1] != orig[1]
+
+
+def test_kernel_rewrite_matches_native_rendering(spark, corpus):
+    """The Arrow rewrite kernel (_remove_spans) and the declarative
+    rendering (_remove_spans_native) must agree value-for-value — including
+    NULL text, where the legacy size(NULL) = -1 makes keep FALSE while the
+    rewritten text stays NULL."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datatrove_spark.operators.sentence_dedup import (
+        SentenceDedupConfig,
+        _remove_spans,
+        _remove_spans_native,
+        _spans,
+    )
+
+    extra = spark.createDataFrame(
+        [(90, None), (91, ""), (92, "no terminators here at all"), (93, "One. Two! Three? " * 20)],
+        "doc_id long, text string",
+    )
+    df = corpus.union(extra)
+    cfg = SentenceDedupConfig()
+    spans = _spans(df, "doc_id", "text", cfg.span)
+    w = Window.partitionBy("h").orderBy(F.col("doc_id").asc(), F.col("sent_idx").asc())
+    dup = spans.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    cols = ["doc_id", "sentence_dedup_text", "sentence_dedup_keep"]
+    kern = {r.doc_id: (r[1], r[2]) for r in _remove_spans(df, dup, "doc_id", "text", cfg).select(*cols).collect()}
+    nat = {r.doc_id: (r[1], r[2]) for r in _remove_spans_native(df, dup, "doc_id", "text", cfg).select(*cols).collect()}
+    assert kern == nat
+    assert kern[90] == (None, False)  # NULL-text contract pinned explicitly
