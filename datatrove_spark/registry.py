@@ -26,6 +26,7 @@ from datatrove_spark.operators import (
     c4_badwords,
     c4_paragraphs,
     c4_quality,
+    ccnet_buckets,
     decont,
     dsir,
     exact_dedup,
@@ -665,6 +666,11 @@ def _q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "ngram_logprob", "ngram_perplexity", "ngram_lm_keep")
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ccnet_buckets.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang", "ngram_perplexity", "ccnet_tile", "ccnet_bucket")
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash.jaccard_pairs(load(spark, sf_dir, "documents"))
 
@@ -799,6 +805,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fasttext_filter": (_q_fasttext_filter, _oracle_fasttext_filter()),
     "unigram_logprob": (_q_unigram_logprob, unigram_logprob.oracle_sql()),
     "ngram_perplexity": (_q_ngram_perplexity, ngram_lm.oracle_sql()),
+    "ccnet_buckets": (_q_ccnet_buckets, ccnet_buckets.oracle_sql()),
     "token_count": (_q_token_count, token_stats.oracle_sql_doc_tokens()),
     "token_stats_by_lang": (_q_token_stats_by_lang, token_stats.oracle_sql_group_stats()),
     "length_histogram": (_q_length_histogram, token_stats.oracle_sql_length_histogram()),
