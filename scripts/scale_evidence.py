@@ -51,6 +51,18 @@ def corpus_path(spark, mult: int) -> str:
     return path
 
 
+def emb_path(spark, mult: int) -> str:
+    path = f"/tmp/scale_emb_{mult}x.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        reps = spark.range(mult).withColumnRenamed("id", "rep")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"), "embedding"
+        )
+        big.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
 def stage_metrics(spark) -> dict[int, dict]:
     """stageId -> {shuffle_read, shuffle_write, input} bytes via the UI REST
     API (attempt-0 rows; this workload doesn't retry stages)."""
@@ -85,13 +97,44 @@ def _sentence_dedup(docs):
     )
 
 
+def _op(module, select_cols):
+    def run(spark, docs):
+        mod = __import__(f"datatrove_spark.operators.{module}", fromlist=["apply"])
+        return mod.apply(docs).select(*select_cols)
+
+    return run
+
+
+def _semdedup(spark, emb):
+    from datatrove_spark.operators import similarity
+
+    # k must scale with n so cells stay (n/k)-sized — the paper's own knob;
+    # lowest-id centroids as everywhere
+    n = emb.count()
+    return similarity.semdedup(emb, n_centroids=max(16, n // 1000), threshold=0.45).select(
+        "vec_id", "dup_of", "semdedup_keep"
+    )
+
+
+def _ccnet(spark, docs):
+    from datatrove_spark.operators import ccnet_buckets
+
+    return ccnet_buckets.apply(docs).select("doc_id", "lang", "ccnet_tile")
+
+
+# table -> op name -> callable(spark, df)
 OPS = {
-    "minhash_dedup": lambda spark, docs: __import__(
-        "datatrove_spark.operators.minhash", fromlist=["apply"]
-    ).apply(docs).select("doc_id", "dup_of", "minhash_keep"),
+    "minhash_dedup": _op("minhash", ["doc_id", "dup_of", "minhash_keep"]),
     "minhash_index_dedup_full": lambda spark, docs: _index_full(docs),
     "sentence_dedup": lambda spark, docs: _sentence_dedup(docs),
+    "simhash_dedup": _op("simhash", ["doc_id", "dup_of", "simhash_keep"]),
+    "exact_dedup": _op("exact_dedup", ["doc_id", "dup_of", "exact_dedup_keep"]),
+    "bloom_dedup": _op("bloom_dedup", ["doc_id", "bloom_dup_frac", "bloom_dedup_keep"]),
+    "exact_substrings": _op("exact_substrings", ["doc_id", "n_words", "n_removed", "es_text"]),
+    "ccnet_buckets": _ccnet,
+    "semdedup": _semdedup,
 }
+EMB_OPS = {"semdedup"}
 
 
 def _index_full(docs):
@@ -113,13 +156,16 @@ def main() -> int:
 
     spark = get_spark(app_name="scale-evidence")
     results: dict[str, dict] = {}
-    warm = spark.read.parquet(corpus_path(spark, 1)).limit(200)
     for op in args.ops.split(","):  # spin up JVM + Arrow python workers
+        src = emb_path(spark, 1) if op in EMB_OPS else corpus_path(spark, 1)
+        warm = spark.read.parquet(src).limit(200)
         OPS[op](spark, warm).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
     for mult in [int(m) for m in args.mults.split(",")]:
-        docs = spark.read.parquet(corpus_path(spark, mult))
-        n_docs = docs.count()
         for op in args.ops.split(","):
+            src = emb_path(spark, mult) if op in EMB_OPS else corpus_path(spark, mult)
+            docs = spark.read.parquet(src)
+            n_docs = docs.count()
             spark.catalog.clearCache()
             before = stage_metrics(spark)
             t0 = time.monotonic()
