@@ -37,6 +37,7 @@ from datatrove_spark.operators import (
     gopher_quality,
     gopher_repetition,
     host_stats,
+    lang_rebalance,
     langid,
     minhash,
     ngram_lm,
@@ -666,6 +667,11 @@ def _q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "ngram_logprob", "ngram_perplexity", "ngram_lm_keep")
 
 
+def _q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = lang_rebalance.apply(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang", "lang_rebalance_thr", "lang_rebalance_keep")
+
+
 def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ccnet_buckets.apply(load(spark, sf_dir, "documents"))
     return df.select("doc_id", "lang", "ngram_perplexity", "ccnet_tile", "ccnet_bucket")
@@ -806,6 +812,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "unigram_logprob": (_q_unigram_logprob, unigram_logprob.oracle_sql()),
     "ngram_perplexity": (_q_ngram_perplexity, ngram_lm.oracle_sql()),
     "ccnet_buckets": (_q_ccnet_buckets, ccnet_buckets.oracle_sql()),
+    "lang_rebalance": (_q_lang_rebalance, lang_rebalance.oracle_sql()),
     "token_count": (_q_token_count, token_stats.oracle_sql_doc_tokens()),
     "token_stats_by_lang": (_q_token_stats_by_lang, token_stats.oracle_sql_group_stats()),
     "length_histogram": (_q_length_histogram, token_stats.oracle_sql_length_histogram()),
