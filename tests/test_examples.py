@@ -102,3 +102,13 @@ def test_cross_dump_dedup_example(spark, tmp_path):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     full_kept = minhash.apply(docs).filter("minhash_keep").count()
     assert total_kept == full_kept
+
+
+def test_multilingual_pretrain_prep_example(spark, tmp_path):
+    from examples import multilingual_pretrain_prep as mp
+
+    m = mp.run(spark, str(tmp_path / "ml"), n_generate=800)
+    assert 0 < m["docs_out"] < m["docs_in"] == 800
+    assert m["shards"] == 4 and m["tokens"] > 0
+    # the temperature sampler must have kept more than one language
+    assert len(m["kept_by_lang"]) >= 2
