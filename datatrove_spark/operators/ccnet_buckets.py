@@ -73,7 +73,10 @@ def tiles(
     samples its boundaries, so an unpersisted recomputation is not guaranteed
     to reproduce them."""
     spark = scored.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" or AQE-managed setting
+        nparts = spark.sparkContext.defaultParallelism
     slim = (
         scored.select(F.col(lang_col).alias("__lang"), F.col(value_col).alias("__v"), F.col(id_col))
         .repartitionByRange(nparts, "__lang", "__v", id_col)
@@ -89,6 +92,14 @@ def tiles(
     for r in pcounts:
         per_part[(r["__pid"], r["__lang"])] = r["count"]
         totals[r["__lang"]] = totals.get(r["__lang"], 0) + r["count"]
+    if None in totals:
+        # NULL languages would silently vanish in the vectorized factorize
+        # below (None -> NaN loses dict-key identity); make the contract
+        # explicit instead of mislabeling
+        raise ValueError(
+            f"ccnet_buckets: {totals[None]} rows have NULL {lang_col}; "
+            "filter or impute a language before bucketing"
+        )
     offsets: dict[tuple[int, str], int] = {}
     for lang in totals:
         acc = 0
@@ -99,19 +110,50 @@ def tiles(
     def label(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one call per partition; `seen` carries the running per-language
         # rank ACROSS Arrow batches of the same partition (rows arrive in
-        # the sortWithinPartitions order)
+        # the sortWithinPartitions order). Fully vectorized: per-row work is
+        # numpy (factorize codes -> cumcount + offset + the SQL tile-size
+        # rule); Python touches only the per-batch UNIQUE languages.
+        import numpy as np
+
         seen: dict[str, int] = {}
+        pid = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pid = int(pdf["__pid"].iloc[0])
-            ranks = []
-            for lang in pdf["__lang"]:
-                r = seen.get(lang, offsets[(pid, lang)]) + 1
-                seen[lang] = r
-                ranks.append(r)
-            tile = [sql_tile(r, totals[lg], k) for r, lg in zip(ranks, pdf["__lang"])]
+            codes, uniques = pd.factorize(pdf["__lang"], use_na_sentinel=False)
+            nu = len(uniques)
+            base = np.fromiter(
+                (seen.get(lg, offsets[(pid, lg)]) for lg in uniques), dtype=np.int64, count=nu
+            )
+            n_of = np.fromiter((totals[lg] for lg in uniques), dtype=np.int64, count=nu)
+            local = pd.Series(codes).groupby(codes).cumcount().to_numpy()
+            ranks = base[codes] + local + 1
+            n = n_of[codes]
+            q, rem = np.divmod(n, k)
+            big = (q + 1) * rem  # first n%k tiles get one extra row (SQL ntile)
+            tile = np.where(
+                ranks <= big,
+                (ranks - 1) // (q + 1) + 1,
+                rem + (ranks - 1 - big) // np.maximum(q, 1) + 1,
+            )
+            batch_counts = np.bincount(codes, minlength=nu)
+            for i, lg in enumerate(uniques):
+                seen[lg] = int(base[i] + batch_counts[i])
             yield pd.DataFrame({id_col: pdf[id_col], "tile": pd.Series(tile, dtype="int64")})
+        # partitioning-drift tripwire (cheap, O(languages)): the offsets were
+        # derived from the partitioning the count job saw; if the persisted
+        # slim table was ever recomputed into different partitions, final
+        # ranks stop matching the counted sizes — fail hard, never mislabel
+        if pid is not None:
+            for lg, final in seen.items():
+                expect = offsets[(pid, lg)] + per_part[(pid, lg)]
+                if final != expect:
+                    raise RuntimeError(
+                        f"ccnet_buckets: partition {pid} saw {final} rows of lang "
+                        f"{lg!r} but the count job recorded {expect}; the persisted "
+                        "slim partitioning drifted — tiles would be mislabeled"
+                    )
 
     # the persisted slim table (3 slim columns) is consumed lazily by the
     # labeling pass; looping callers should clearCache between invocations
@@ -132,7 +174,15 @@ def apply(
 
     The LM scoring runs ONCE: its slim (id, lang, logprob, ppl) projection is
     persisted and materialized before fan-out, then feeds both the tile rank
-    and the output join — the text column never enters either shuffle."""
+    and the output join — the text column never enters either shuffle.
+
+    Cache lifecycle: both persists (slimscore here, slim inside tiles()) stay
+    referenced by the RETURNED lazy DataFrame, so there is no safe unpersist
+    point inside this function — tiles()' offsets contract requires the
+    labeling pass to read the exact persisted partitioning. Long-lived
+    sessions looping over corpora should `spark.catalog.clearCache()` after
+    materializing each result (same lifecycle note as
+    minhash.apply_with_index)."""
     scored = ngram_lm.apply(df, id_col, text_col, cfg)
     slimscore = scored.select(
         id_col, lang_col, "ngram_logprob", "ngram_perplexity"

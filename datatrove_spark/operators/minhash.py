@@ -15,11 +15,13 @@ Spark collapses the sorted-file machinery into relational form:
               emitted exploded as (doc_id, bucket_id, sig). Docs with fewer
               than n_grams words have no shingles and emit no rows (the
               reference likewise cannot dedup an empty signature).
-  pairs       groupBy(bucket_id, sig) -> sorted doc list -> adjacent-to-min
-              pairs (a < b). ONE hash-partitioned shuffle of (16-byte key,
+  pairs       min(id) OVER (PARTITION BY bucket_id, sig) -> (rep, id) star
+              edges (a < b). ONE hash-partitioned shuffle of (16-byte key,
               id) rows replaces signature files + range-partitioned merges;
-              hot signatures (boilerplate pages) are exactly the skew AQE's
-              shuffle-split handles.
+              the window buffer streams/spills per group, so hot signatures
+              (viral boilerplate pages with millions of identical copies)
+              never materialize as one collected array row, and every
+              member gets an edge (no cap).
   cluster     iterative min-label propagation over the (tiny) pair edge set
               to a fixed point — the distributed replacement for the
               reference's single-task / 25 GB / 30 h union-find stage
@@ -203,10 +205,28 @@ def signatures(
 
 def pairs_from_sigs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct (a, b) with a < b sharing at least one bucket signature,
-    from a precomputed (id, bucket_id, sig) table."""
-    grouped = sigs.groupBy("bucket_id", "sig").agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-    edges = grouped.filter(F.size("ids") > 1).select(
-        F.element_at("ids", 1).alias("a"), F.explode(F.slice("ids", 2, 1_000_000)).alias("b")
+    from a precomputed (id, bucket_id, sig) table.
+
+    Star edges via min-over-window — the same plan bloom_dedup uses: each
+    (bucket_id, sig) group's representative is min(id) over the group, and
+    every non-representative row emits exactly one (rep, id) edge. One
+    shuffle keyed on the 12-byte band key; the window buffer is spillable
+    row storage, so a viral-duplicate group (millions of identical
+    boilerplate copies sharing one signature) streams through a task as
+    ~20-byte rows instead of materializing as a single hundreds-of-MB
+    collected array — and there is no membership cap, so every member gets
+    its edge. (The previous rendering, groupBy + sort_array(collect_set) +
+    slice(ids, 2, 1e6), built that single array row per group and silently
+    dropped — i.e. failed to dedup — members beyond the first million.)
+    Edge set is identical: adjacency-to-min is exactly the reference's
+    stage-2 pairing rule (minhash.py:388-392)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket_id", "sig")
+    edges = (
+        sigs.withColumn("a", F.min(id_col).over(w))
+        .filter(F.col("a") < F.col(id_col))
+        .select("a", F.col(id_col).alias("b"))
     )
     return edges.distinct()
 

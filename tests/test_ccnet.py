@@ -52,6 +52,16 @@ def test_tiles_match_local_ntile_under_skew(spark, docs):
             assert r.ccnet_tile == ccnet_buckets.sql_tile(i, n, 3), (lang, i, r)
 
 
+def test_null_lang_fails_fast(spark, docs):
+    """NULL languages must raise a clear error, never silently mislabel
+    (the vectorized kernel's factorize would lose None's dict-key identity)."""
+    nulled = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    with pytest.raises(ValueError, match="NULL lang"):
+        ccnet_buckets.apply(nulled).collect()
+
+
 def test_bucket_names_and_head_is_most_fluent(spark, docs):
     out = ccnet_buckets.apply(docs).select("lang", "ngram_perplexity", "ccnet_bucket")
     rows = out.collect()

@@ -70,6 +70,30 @@ def test_apply_keeps_component_min(spark, corpus):
             assert dup == 0
 
 
+def test_pairs_viral_group_no_cap_no_array_row(spark):
+    """A viral-duplicate group larger than the OLD implementation's silent
+    1,000,000-member slice cap must yield an edge for EVERY member — the
+    former groupBy+collect_set+slice(ids, 2, 1e6) plan materialized each
+    group as one array row and left members beyond the cap with no edge
+    (silently NOT deduplicated). 1.2M ids sharing one (bucket_id, sig) ->
+    exactly 1.2M - 1 star edges, all rooted at min(id), covering max(id)."""
+    n = 1_200_000
+    sigs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("bucket_id"), F.lit(12345).alias("sig")
+    )
+    edges = minhash.pairs_from_sigs(sigs)
+    agg = edges.agg(
+        F.count("*").alias("n"),
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.countDistinct("b").alias("nb"),
+        F.max("b").alias("max_b"),
+    ).collect()[0]
+    assert agg.n == n - 1
+    assert agg.min_a == 0 and agg.max_a == 0  # every edge roots at the group min
+    assert agg.nb == n - 1 and agg.max_b == n - 1  # the last member HAS an edge
+
+
 def test_connected_components_transitive(spark):
     # chain 3-7, 5-7: component {3,5,7} -> rep 3 for all
     edges = spark.createDataFrame([(3, 7), (5, 7)], "a long, b long")

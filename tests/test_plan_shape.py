@@ -185,7 +185,11 @@ def test_jaccard_pairs_no_corpus_hof_no_array_broadcast(pages):
 def test_minhash_pairs_single_signature_kernel(pages):
     """The banding plan must evaluate the Arrow signature kernel exactly once
     per document: one ArrowEvalPython node feeding the single (bucket, sig)
-    key shuffle — a second one would re-scan and re-hash the corpus text."""
+    key shuffle — a second one would re-scan and re-hash the corpus text.
+    The pair stage must be the min-over-window star-edge plan: NO
+    collect_set/collect_list (a grouped array materializes a whole
+    viral-duplicate group as one unsplittable row, and any slice cap on it
+    silently under-dedups members beyond the cap)."""
     from datatrove_spark.operators import minhash
 
     p = plan_of(minhash.pairs(pages), "simple")
@@ -194,6 +198,8 @@ def test_minhash_pairs_single_signature_kernel(pages):
     # signature rows (the only corpus-scale one) and the (a, b) distinct
     # over the collision EDGES only
     assert p.count("Exchange hashpartitioning") == 2, p
+    assert "collect_set" not in p and "collect_list" not in p, p
+    assert "Window" in p, p  # spillable per-group row buffer, not an array
 
 
 def test_minhash_dedup_labels_are_local_relation(pages):
