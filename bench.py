@@ -162,7 +162,23 @@ def gated_headline(spark, n_pages: int) -> dict:
             }
         )
     best = max(runs, key=lambda r: r["docs_per_sec"])
-    return {"best": best, "runs": runs, "probe_target_s": target}
+    # State-comparable subset: BASELINE.md's 73,221 docs/s was measured at a
+    # rested probe of 0.62-0.65 s. A run whose probe is BELOW that band ran
+    # on a better-than-baseline host state (observed 0.568 s -> 125.9k
+    # docs/s), so its ratio overstates; one above the target band ran hot
+    # and understates. headline_conservative is the best run inside the
+    # band — the number cross-round trend tables should use (judged
+    # round-4 ADVICE); headline_best is the fastest state observed.
+    lo = float(os.environ.get("BENCH_PROBE_BASELINE_MIN_S", "0.62"))
+    comparable = [r for r in runs if lo <= r["probe_s"] <= target]
+    conservative = max(comparable, key=lambda r: r["docs_per_sec"]) if comparable else None
+    return {
+        "best": best,
+        "conservative": conservative,
+        "runs": runs,
+        "probe_target_s": target,
+        "probe_baseline_band_s": [lo, target],
+    }
 
 
 def main() -> None:
@@ -239,6 +255,13 @@ def main() -> None:
         "baseline_docs_per_sec": 73221,
         "vs_baseline": round((n_pages / pages_t) / 73221, 3),
         "headline": headline,
+        # named so cross-round comparisons never pick the wrong convention:
+        # best = fastest observed host state; conservative = best run whose
+        # probe sat inside the baseline's rested band (state-comparable)
+        "headline_best": headline["best"]["docs_per_sec"],
+        "headline_conservative": (
+            headline["conservative"]["docs_per_sec"] if headline["conservative"] else None
+        ),
     }
 
     if os.environ.get("BENCH_SCALING") == "1":

@@ -71,6 +71,14 @@ def apply(
     counts = {
         r[lang_col]: r["count"] for r in df.groupBy(lang_col).count().collect()
     }
+    if None in counts:
+        # sorted(counts) would raise (None vs str unorderable), and a NULL
+        # language has no defensible temperature share — make the contract
+        # explicit instead of emitting NULL keep decisions
+        raise ValueError(
+            f"lang_rebalance: {counts[None]} rows have NULL {lang_col}; "
+            "filter or impute a language before rebalancing"
+        )
     rates = rates_from_counts(counts, alpha, budget_frac)
     thr = F.lit(None).cast("long")
     for lg in sorted(rates):

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datatrove_spark.functions.hashing import py_hash60
-from datatrove_spark.functions.vectors import cosine, dot, to_double_array
+from datatrove_spark.functions.vectors import cosine, dot, shuffle_vec, to_double_array
 
 NAME = "similarity"
 
@@ -327,14 +327,26 @@ def assign_cells(
     )
 
 
-def _block_pair_kernel(threshold: float):
+def _block_pair_kernel(threshold: float, forest: bool = False):
     """mapInPandas generator over (items_l, items_r, same) grid rows: each row
     carries two packed blocks of (vid, vec) structs; the kernel emits every
     (a, b) pair with cosine >= threshold as one numpy score matrix per row.
     Float parity with the row-wise HOF form / SQL oracle: dots and norms
     accumulate dimension-by-dimension (columnwise outer-product adds), which
     reproduces the strict left-to-right float64 fold per element. Shared by
-    neardup_pairs (global grid) and cell_neardup_edges (per-cell grid)."""
+    neardup_pairs (global grid) and cell_neardup_edges (per-cell grid).
+
+    forest=True reduces each grid row's qualifying pairs to a LOCAL SPANNING
+    FOREST before emitting (union-find over the row's own matrix — O(matrix)
+    work the kernel already paid to score). Every emitted edge is a real
+    qualifying pair, and a forest per grid row preserves the global
+    connected components exactly, so consumers that only need components
+    (semdedup's keep-one-per-group) get identical answers while the edge
+    volume drops from O(pairs) to O(vectors): a g-member semantic-duplicate
+    group ships g-1 edges instead of C(g,2) — at web scale (g in the
+    millions for boilerplate embeddings) the difference between a linear
+    shuffle and a quadratic one. Pair-list consumers (neardup_pairs'
+    contract IS the pair list) keep forest=False."""
     from collections.abc import Iterator
 
     def cells(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -361,10 +373,35 @@ def _block_pair_kernel(threshold: float):
                 # off-diagonal cells hold disjoint id sets: keep every match,
                 # normalized to (min, max) — id order does not follow block order
                 ai, bi = np.nonzero(mask)
-                if len(ai):
-                    a = np.minimum(ids_l[ai], ids_r[bi])
-                    b = np.maximum(ids_l[ai], ids_r[bi])
-                    yield pd.DataFrame({"a": a, "b": b})
+                if not len(ai):
+                    continue
+                a = np.minimum(ids_l[ai], ids_r[bi])
+                b = np.maximum(ids_l[ai], ids_r[bi])
+                if forest:
+                    parent: dict = {}
+
+                    def find(x):
+                        root = x
+                        while parent[root] != root:
+                            root = parent[root]
+                        while parent[x] != root:
+                            parent[x], x = root, parent[x]
+                        return root
+
+                    keep_a, keep_b = [], []
+                    for x, y in zip(a.tolist(), b.tolist()):
+                        if x not in parent:
+                            parent[x] = x
+                        if y not in parent:
+                            parent[y] = y
+                        rx, ry = find(x), find(y)
+                        if rx != ry:
+                            parent[max(rx, ry)] = min(rx, ry)
+                            keep_a.append(x)
+                            keep_b.append(y)
+                    a = np.array(keep_a, dtype=np.int64)
+                    b = np.array(keep_b, dtype=np.int64)
+                yield pd.DataFrame({"a": a, "b": b})
 
     return cells
 
@@ -375,7 +412,9 @@ def cell_neardup_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
-    n_blocks: int = 4,
+    n_blocks: int | str = 4,
+    forest: bool = False,
+    block_rows: int = 2500,
 ) -> DataFrame:
     """(a, b) pairs with cosine >= threshold WITHIN each cell, as a per-cell
     block-matrix product: vectors pack into (cell, blk) chunks, the grid
@@ -386,13 +425,30 @@ def cell_neardup_edges(
 
     Scale: the only shuffle is the (cell, blk) pack; a hot cell's quadratic
     work splits across n_blocks*(n_blocks+1)/2 independent grid rows, so one
-    oversized k-means cell cannot serialize onto a single task."""
+    oversized k-means cell cannot serialize onto a single task. forest=True
+    (what semdedup passes) additionally collapses each grid row's pairs to a
+    local spanning forest — same connected components, O(vectors) instead of
+    O(pairs) edges out of the kernel (see _block_pair_kernel).
+
+    n_blocks="auto" sizes the grid from the DATA instead of trusting the
+    caller: one slim count agg finds the largest cell and picks n_blocks so
+    no packed (cell, blk) array row exceeds ~block_rows vectors — the guard
+    against a skewed k-means cell turning one collect_list row into a
+    hundreds-of-MB single-task blob (the same class of hazard minhash's
+    pair path fixed this round). Costs one extra pass of the assignment
+    kernel over the corpus (the count's input column is UDF-produced), so
+    it is opt-in."""
+    if n_blocks == "auto":
+        mx = cells_df.groupBy(cell_col).count().agg(F.max("count")).collect()[0][0] or 0
+        n_blocks = max(1, -(-int(mx) // block_rows))  # ceil
     packed = (
         cells_df.select(
             F.col(cell_col).alias("__cell"),
             F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
             F.col(id_col).alias("vid"),
-            to_double_array(F.col(vec_col)).alias("vec"),
+            # shuffle_vec keeps a float32 source at 4 B/dim through the pack
+            # and grid shuffles (the kernel re-widens to float64 exactly)
+            shuffle_vec(cells_df, vec_col).alias("vec"),
         )
         .groupBy("__cell", "blk")
         .agg(F.collect_list(F.struct("vid", "vec")).alias("items"))
@@ -407,7 +463,7 @@ def cell_neardup_edges(
             (F.col("l.blk") == F.col("r.blk")).alias("same"),
         )
     )
-    return grid.mapInPandas(_block_pair_kernel(threshold), "a long, b long")
+    return grid.mapInPandas(_block_pair_kernel(threshold, forest=forest), "a long, b long")
 
 
 def semdedup_edges_rowwise(
@@ -441,6 +497,7 @@ def semdedup(
     n_centroids: int = 16,
     threshold: float = 0.95,
     centroids=None,
+    n_blocks: int | str = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     — cluster embeddings into k cells, compute pairwise cosine only WITHIN
@@ -478,7 +535,12 @@ def semdedup(
     else:
         cents = np.asarray(centroids, dtype=np.float64)
     cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
-    edges = cell_neardup_edges(cells, threshold, id_col=id_col, vec_col=vec_col)
+    # forest=True: components are all semdedup consumes, so each grid row
+    # ships a spanning forest (g-1 edges per g-member duplicate group, not
+    # C(g,2)) — keeps the edge shuffle linear under viral duplication
+    edges = cell_neardup_edges(
+        cells, threshold, id_col=id_col, vec_col=vec_col, forest=True, n_blocks=n_blocks
+    )
     comp = connected_components(edges)
     out = corpus.join(comp.withColumnRenamed("node", id_col), id_col, "left")
     return (
@@ -572,7 +634,9 @@ def neardup_pairs(
         df.select(
             F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
             F.col(id_col).alias("vid"),
-            to_double_array(F.col(vec_col)).alias("vec"),
+            # shuffle_vec keeps a float32 source at 4 B/dim through the pack
+            # and grid shuffles (the kernel re-widens to float64 exactly)
+            shuffle_vec(df, vec_col).alias("vec"),
         )
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vid", "vec")).alias("items"))

@@ -122,6 +122,32 @@ def _ccnet(spark, docs):
     return ccnet_buckets.apply(docs).select("doc_id", "lang", "ccnet_tile")
 
 
+def _neardup(spark, emb):
+    from datatrove_spark.operators import similarity
+
+    # exact all-pairs is quadratic BY DEFINITION; n_blocks scales with n so
+    # each grid cell's score matrix stays executor-sized (~2.5k x 2.5k). The
+    # honest expectation on this ladder is B/doc GROWING ~linearly (each
+    # block ships n_blocks times) — the measured reason the LSH/semdedup
+    # paths, not this one, are the 10^9-vector route.
+    n = emb.count()
+    return similarity.neardup_pairs(emb, threshold=0.9, n_blocks=max(8, n // 2500))
+
+
+def _ivf(spark, emb):
+    from datatrove_spark.operators import similarity
+
+    # fixed 25-query probe set against the scaled corpus; centroid count
+    # scales as n/1000 so inverted lists stay ~1000 vectors
+    n = emb.count()
+    queries = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .filter(F.col("vec_id") < 25)
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    return similarity.ivf_topk(emb, queries, n_centroids=max(16, n // 1000))
+
+
 # table -> op name -> callable(spark, df)
 OPS = {
     "minhash_dedup": _op("minhash", ["doc_id", "dup_of", "minhash_keep"]),
@@ -133,8 +159,10 @@ OPS = {
     "exact_substrings": _op("exact_substrings", ["doc_id", "n_words", "n_removed", "es_text"]),
     "ccnet_buckets": _ccnet,
     "semdedup": _semdedup,
+    "embedding_neardup": _neardup,
+    "ivf_topk": _ivf,
 }
-EMB_OPS = {"semdedup"}
+EMB_OPS = {"semdedup", "embedding_neardup", "ivf_topk"}
 
 
 def _index_full(docs):
@@ -189,9 +217,11 @@ def main() -> int:
                 sum(v["shuffle_write"] for v in new.values()) / n_docs, 1
             )
             results[f"{op}@{mult}x"] = rec
-            print(json.dumps({f"{op}@{mult}x": rec}))
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+            print(json.dumps({f"{op}@{mult}x": rec}), flush=True)
+            # write incrementally: a killed/timed-out run keeps every
+            # completed record instead of losing the whole ladder
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
     return 0
 

@@ -193,6 +193,72 @@ def test_semdedup_edges_block_kernel_not_hof(spark, emb):
     )
 
 
+def test_shuffle_vec_keeps_float32_widens_ints(spark, emb):
+    """The pack-boundary vector column must stay float32 when the source is
+    float32 (half the dominant shuffle payload; the kernels re-widen to
+    float64 exactly), and widen non-float numerics to double."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    from datatrove_spark.functions.vectors import shuffle_vec
+
+    assert emb.schema["embedding"].dataType.elementType == FloatType()
+    out = emb.select(shuffle_vec(emb, "embedding").alias("v"))
+    assert out.schema["v"].dataType.elementType == FloatType()
+    ints = spark.range(3).selectExpr("array(id, id + 1) AS v")
+    out2 = ints.select(shuffle_vec(ints, "v").alias("v"))
+    assert out2.schema["v"].dataType.elementType == DoubleType()
+
+
+def test_semdedup_forest_edges_same_components_linear_count(spark, emb):
+    """forest=True must (a) emit only edges that are REAL qualifying pairs,
+    (b) produce exactly the same connected components as all-pairs mode, and
+    (c) collapse a g-member duplicate group to O(g) edges instead of C(g,2):
+    the property that keeps semdedup's edge shuffle linear under viral
+    duplication (the round-5 ladder measured all-pairs edges growing 4.1x
+    per 2x corpus on a replicated table)."""
+    from datatrove_spark.operators.minhash import connected_components
+
+    # 40 identical copies of one vector (one duplicate group) + the corpus
+    g = 40
+    dup = emb.limit(1).selectExpr("CAST(1000000 AS LONG) AS vec_id", "embedding")
+    copies = dup.crossJoin(spark.range(g).withColumnRenamed("id", "r")).selectExpr(
+        "vec_id + r AS vec_id", "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").union(copies)
+    cells = similarity.assign_cells(corpus, _lowest_id_cents(emb, 16))
+    allp = similarity.cell_neardup_edges(cells, 0.45)
+    fore = similarity.cell_neardup_edges(cells, 0.45, forest=True)
+    all_set = {(r.a, r.b) for r in allp.collect()}
+    fore_set = {(r.a, r.b) for r in fore.collect()}
+    assert fore_set <= all_set  # every forest edge is a real qualifying pair
+    comp_all = {r.node: r.rep for r in connected_components(allp).collect()}
+    comp_for = {r.node: r.rep for r in connected_components(fore).collect()}
+    assert comp_all == comp_for  # identical components
+    # the identity group alone holds C(40,2)=780 all-pairs edges; forest mode
+    # must stay O(n): bounded by nodes x grid-rows-per-node (<= 2*n_blocks)
+    group_allp = sum(1 for a, b in all_set if a >= 1_000_000 and b >= 1_000_000)
+    group_fore = sum(1 for a, b in fore_set if a >= 1_000_000 and b >= 1_000_000)
+    assert group_allp == g * (g - 1) // 2
+    assert group_fore <= 2 * 4 * g  # n_blocks=4 default
+
+
+def test_cell_neardup_auto_blocks(spark, emb):
+    """n_blocks='auto' sizes the grid from the largest cell so no packed
+    array row exceeds block_rows vectors, and the edges are unchanged."""
+    cells = similarity.assign_cells(emb, _lowest_id_cents(emb, 16))
+    fixed = {(r.a, r.b) for r in similarity.cell_neardup_edges(cells, 0.45).collect()}
+    auto = {
+        (r.a, r.b)
+        for r in similarity.cell_neardup_edges(
+            cells, 0.45, n_blocks="auto", block_rows=10
+        ).collect()
+    }
+    assert auto == fixed
+    # precondition: auto actually had to split (largest cell > block_rows)
+    mx = cells.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    assert mx > 10
+
+
 def test_ivf_trained_centroids(emb, queries):
     """Trained (explicit, non-lowest-id) centroids flow through ivf_topk
     without touching the plan: probing every cell still degenerates to exact

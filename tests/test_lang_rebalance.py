@@ -60,6 +60,68 @@ def test_realized_counts_near_expected(spark):
         assert abs(kept.get(lg, 0) - exp) <= 4 * math.sqrt(max(exp, 1)) + 2, (lg, exp, kept)
 
 
+def test_null_lang_fails_fast(spark):
+    """NULL languages must raise a clear error, never crash in sorted() or
+    emit NULL keep decisions."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    nulled = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    with pytest.raises(ValueError, match="NULL lang"):
+        lang_rebalance.apply(nulled)
+
+
+def test_non_sqrt_temperature_alpha03(spark):
+    """alpha=0.3 (a non-sqrt temperature, libm pow path): realized keep rates
+    must match the q_l ∝ n_l^alpha expectation within sampler granularity,
+    and the thresholds must agree with an independent DuckDB pow() rendering
+    to within 1 unit in 1e6 (the documented last-ulp caveat)."""
+    from tests.conftest import duck_connect
+
+    alpha, budget_frac = 0.3, 0.5
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    counts = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    out = lang_rebalance.apply(docs, alpha=alpha, budget_frac=budget_frac)
+    rows = out.select("lang", "lang_rebalance_thr", "lang_rebalance_keep").collect()
+
+    # independent expectation in pure float arithmetic
+    s = sum(n**alpha for n in counts.values())
+    budget = budget_frac * sum(counts.values())
+    exp_rate = {lg: min(1.0, budget * counts[lg] ** alpha / s / counts[lg]) for lg in counts}
+
+    thr = {r.lang: r.lang_rebalance_thr for r in rows}
+    for lg in counts:
+        assert abs(thr[lg] - exp_rate[lg] * lang_rebalance.SAMPLE_M) <= 1, (lg, thr[lg])
+    # realized kept counts track rate*n within binomial slack
+    kept: dict[str, int] = {}
+    for r in rows:
+        kept[r.lang] = kept.get(r.lang, 0) + bool(r.lang_rebalance_keep)
+    for lg, n in counts.items():
+        exp = exp_rate[lg] * n
+        assert abs(kept.get(lg, 0) - exp) <= 4 * math.sqrt(max(exp, 1)) + 2, (lg, exp, kept)
+
+    # cross-engine: DuckDB computes the same thresholds with its own pow
+    con = duck_connect(SF_SMALL)
+    duck = dict(
+        con.execute(
+            f"""
+            WITH counts AS (
+              SELECT lang AS lg, count(*)::BIGINT AS n FROM documents GROUP BY 1
+            ), tot AS (
+              SELECT sum(n)::DOUBLE AS nn,
+                     list_sum(list_transform(list(n ORDER BY lg), x -> pow(x::DOUBLE, {alpha}))) AS s
+              FROM counts
+            )
+            SELECT lg, floor(least(1.0, {budget_frac} * (SELECT nn FROM tot)
+                   * pow(n::DOUBLE, {alpha}) / (SELECT s FROM tot) / n) * 1000000)::BIGINT
+            FROM counts
+            """
+        ).fetchall()
+    )
+    for lg in counts:
+        assert abs(thr[lg] - duck[lg]) <= 1, (lg, thr[lg], duck[lg])
+
+
 def test_plan_is_narrow_after_tiny_agg(spark):
     """The corpus-side keep rule is a pure narrow filter: literal thresholds,
     no join, no corpus shuffle (the only aggregation is the per-language
