@@ -238,30 +238,46 @@ def gopher_repetition(
 
 def _ngram_checks_np(ws: list[str], text_len: int, cfg: GopherRepetitionConfig) -> str | None:
     """Vectorized n-gram checks — exact, no hashing: gram identity is an
-    integer id built by pairing (id(n-gram) = unique(id(prefix) paired with
-    last word id)), so results are bit-identical to the tuple/Counter form.
-    Per size n this is one np.unique + one bincount instead of m tuple
-    allocations + a Counter — measured 1.6x at 400 words, 2x at 4k, 2.8x at
-    20k (this kernel is ~85% of the fused battery); the Counter path below
-    remains faster under ~100 words, hence the dispatch."""
+    integer id built by pairing (id(n-gram) = factorize(id(prefix) paired
+    with last word id)), so results are bit-identical to the tuple/Counter
+    form. Ids come from pandas factorize (hash-based, O(m), appearance
+    order) rather than np.unique (sort-based, O(m log m)) or a per-word
+    dict genexpr; first-occurrence positions fall out of appearance-order
+    codes via one running max (a position starts a NEW gram iff its code
+    exceeds every earlier code). Measured 1.9x on the id machinery at 20k
+    words over the round-2 np.unique form, which itself measured 1.6-2.8x
+    over tuples+Counter (this kernel is ~85% of the fused battery); the
+    Counter path below remains faster under ~100 words, hence the
+    dispatch. Consumers depend only on the grouping partition, per-group
+    counts, and first positions — all invariant to the sorted→appearance
+    relabeling (pinned by the np-vs-Counter equivalence fuzz test)."""
     import numpy as np
+    import pandas as pd
 
     m = len(ws)
     wordlens = np.array(list(map(len, ws)), np.int64)  # map(len) is C-level
     cums = np.concatenate((np.zeros(1, np.int64), np.cumsum(wordlens)))
-    ids: dict[str, int] = {}
-    wid = np.fromiter((ids.setdefault(w, len(ids)) for w in ws), np.int64, m)
+    wid, _uniq = pd.factorize(np.asarray(ws, dtype=object))
+    wid = wid.astype(np.int64, copy=False)
+    n_words = len(_uniq)
 
-    gram_cache: dict[int, tuple] = {1: (wid, len(ids), np.arange(m))}
+    gram_cache: dict[int, tuple] = {1: (wid, n_words, np.arange(m))}
 
     def grams_of(n: int):
         """(gram_ids, n_distinct, first_idx): ids per position, distinct
-        count, first-occurrence position per distinct id."""
+        count, first-occurrence position per distinct id (ids in
+        appearance order, so first_idx is ascending and first_idx[code]
+        is that gram's first position)."""
         if n not in gram_cache:
-            prev, n_prev, _ = gram_cache[n - 1]
-            pair = prev[: m - n + 1] * np.int64(len(ids)) + wid[n - 1 :]
-            _, first_idx, inv = np.unique(pair, return_index=True, return_inverse=True)
-            gram_cache[n] = (inv, len(first_idx), first_idx)
+            prev, _n_prev, _ = gram_cache[n - 1]
+            pair = prev[: m - n + 1] * np.int64(n_words) + wid[n - 1 :]
+            codes, uq = pd.factorize(pair)
+            codes = codes.astype(np.int64, copy=False)
+            cummax = np.maximum.accumulate(codes)
+            # appearance-order codes: position i is a first occurrence iff
+            # codes[i] > max(codes[:i])
+            first_idx = np.nonzero(codes > np.concatenate(([np.int64(-1)], cummax[:-1])))[0]
+            gram_cache[n] = (codes, len(uq), first_idx)
         return gram_cache[n]
 
     for n, frac in cfg.top_n_grams:
