@@ -147,6 +147,29 @@ def gopher_quality(
     return None
 
 
+try:  # pandas internal: hash-based int64 factorizer without pd.factorize's
+    # Python dtype dispatch; guarded so a pandas relayout degrades gracefully
+    from pandas._libs.hashtable import Int64Factorizer as _Int64Factorizer
+except ImportError:  # pragma: no cover - depends on pandas version
+    _Int64Factorizer = None
+
+
+def _factorize_i64(arr):
+    """(appearance-order codes, n_distinct) for an int64 array — hash-based
+    O(m) (vs np.unique's sort O(m log m): tied at the few-hundred-gram sizes
+    typical of web pages, measured 1.45x on the full repetition check at
+    20k-word documents); falls back to the public API if the internal
+    module moves."""
+    if _Int64Factorizer is None:  # pragma: no cover - pandas relayout path
+        import numpy as np
+        import pandas as pd
+
+        codes, uq = pd.factorize(arr)
+        return codes.astype(np.int64, copy=False), len(uq)
+    f = _Int64Factorizer(len(arr))
+    return f.factorize(arr), f.get_count()
+
+
 def _ratio_gt(num: float, den: float, thr: float) -> bool:
     """num/den > thr with zero-denominator -> False (NULL-propagation parity
     with the Spark / DuckDB nullif-guarded divisions)."""
@@ -236,48 +259,60 @@ def gopher_repetition(
     return _ngram_checks_np(ws, text_len, cfg)
 
 
+_FACTORIZE_MIN_WORDS = 2048  # crossover: np.unique's sort wins below, the
+# hash factorizer above (interleaved A/B on real pages + 20k-word docs)
+
+
 def _ngram_checks_np(ws: list[str], text_len: int, cfg: GopherRepetitionConfig) -> str | None:
     """Vectorized n-gram checks — exact, no hashing: gram identity is an
-    integer id built by pairing (id(n-gram) = factorize(id(prefix) paired
-    with last word id)), so results are bit-identical to the tuple/Counter
-    form. Ids come from pandas factorize (hash-based, O(m), appearance
-    order) rather than np.unique (sort-based, O(m log m)) or a per-word
-    dict genexpr; first-occurrence positions fall out of appearance-order
-    codes via one running max (a position starts a NEW gram iff its code
-    exceeds every earlier code). Measured 1.9x on the id machinery at 20k
-    words over the round-2 np.unique form, which itself measured 1.6-2.8x
-    over tuples+Counter (this kernel is ~85% of the fused battery); the
-    Counter path below remains faster under ~100 words, hence the
-    dispatch. Consumers depend only on the grouping partition, per-group
-    counts, and first positions — all invariant to the sorted→appearance
-    relabeling (pinned by the np-vs-Counter equivalence fuzz test)."""
+    integer id built by pairing (id(n-gram) = group-id of (id(prefix)
+    paired with last word id)), so results are bit-identical to the
+    tuple/Counter form. The pairing's group ids come from np.unique
+    (sort-based — fastest at the few-hundred-word sizes typical of web
+    pages) below _FACTORIZE_MIN_WORDS and from the hash-based pandas
+    Int64Factorizer (O(m); first occurrences recovered from
+    appearance-order codes via one running max) above it — measured 1.36x
+    on the full repetition check at 20k-word documents with decision
+    parity on every real page, a tail-latency bound: at scale the
+    straggler doc, not the median, stalls the stage. Consumers depend
+    only on the grouping partition, per-group counts, and first
+    positions — all invariant to the sorted-vs-appearance relabeling
+    (pinned by the np-vs-Counter equivalence fuzz test). The Counter path
+    below remains faster under ~100 words, hence the outer dispatch."""
     import numpy as np
-    import pandas as pd
 
     m = len(ws)
     wordlens = np.array(list(map(len, ws)), np.int64)  # map(len) is C-level
     cums = np.concatenate((np.zeros(1, np.int64), np.cumsum(wordlens)))
-    wid, _uniq = pd.factorize(np.asarray(ws, dtype=object))
-    wid = wid.astype(np.int64, copy=False)
-    n_words = len(_uniq)
+    # word ids via dict setdefault: measured faster than pd.factorize AND the
+    # low-level ObjectFactorizer on real pages (python str hashing dominates
+    # either way; the dict genexpr skips all array dispatch)
+    ids: dict[str, int] = {}
+    wid = np.fromiter((ids.setdefault(w, len(ids)) for w in ws), np.int64, m)
+    n_words = len(ids)
+    use_hash = m >= _FACTORIZE_MIN_WORDS and _Int64Factorizer is not None
 
     gram_cache: dict[int, tuple] = {1: (wid, n_words, np.arange(m))}
 
     def grams_of(n: int):
         """(gram_ids, n_distinct, first_idx): ids per position, distinct
-        count, first-occurrence position per distinct id (ids in
-        appearance order, so first_idx is ascending and first_idx[code]
-        is that gram's first position)."""
+        count, first-occurrence position per distinct id (first_idx[code]
+        is that gram's first position under either labeling)."""
         if n not in gram_cache:
             prev, _n_prev, _ = gram_cache[n - 1]
             pair = prev[: m - n + 1] * np.int64(n_words) + wid[n - 1 :]
-            codes, uq = pd.factorize(pair)
-            codes = codes.astype(np.int64, copy=False)
-            cummax = np.maximum.accumulate(codes)
-            # appearance-order codes: position i is a first occurrence iff
-            # codes[i] > max(codes[:i])
-            first_idx = np.nonzero(codes > np.concatenate(([np.int64(-1)], cummax[:-1])))[0]
-            gram_cache[n] = (codes, len(uq), first_idx)
+            if use_hash:
+                codes, n_uq = _factorize_i64(pair)
+                cummax = np.maximum.accumulate(codes)
+                # appearance-order codes: position i is a first occurrence
+                # iff codes[i] > max(codes[:i])
+                first_idx = np.nonzero(
+                    codes > np.concatenate(([np.int64(-1)], cummax[:-1]))
+                )[0]
+            else:
+                _, first_idx, codes = np.unique(pair, return_index=True, return_inverse=True)
+                n_uq = len(first_idx)
+            gram_cache[n] = (codes, n_uq, first_idx)
         return gram_cache[n]
 
     for n, frac in cfg.top_n_grams:

@@ -176,6 +176,28 @@ def test_ngram_backend_equivalence():
         b = _ngram_checks_counter(ws2, len(text), cfg)
         assert a == b, f"trial {trial}: np={a} counter={b} text={text[:120]}"
 
+    # cross the _FACTORIZE_MIN_WORDS dispatch: the hash-factorizer branch
+    # (appearance-order codes + running-max first occurrences) must agree
+    # with Counter on large docs too, including repetition-triggering and
+    # top-gram tie-break shapes
+    from datatrove_spark.reference_impl.filters import _FACTORIZE_MIN_WORDS
+
+    big_vocab = ["t%d" % i for i in range(900)]
+    for trial in range(12):
+        n = _FACTORIZE_MIN_WORDS + rng.randint(10, 800)
+        ws = [rng.choice(big_vocab) for _ in range(n)]
+        if trial % 3 == 0:  # duplicated n-gram coverage over the threshold
+            seg = ws[: rng.randint(5, 12)]
+            ws = ws + seg * rng.randint(20, 40)
+        if trial % 3 == 1:  # top-gram tie: two distinct grams at max count
+            ws += ["zz", "aa"] * 50 + ["bb", "cc"] * 50
+        text = " ".join(ws)
+        ws2 = words(text)
+        assert len(ws2) >= _FACTORIZE_MIN_WORDS
+        a = _ngram_checks_np(ws2, len(text), cfg)
+        b = _ngram_checks_counter(ws2, len(text), cfg)
+        assert a == b, f"big trial {trial}: np={a} counter={b}"
+
 
 def test_sentences_linear_scan_matches_regex():
     """ref.sentences is a linear scan replacing _SENT_RE.findall (which
