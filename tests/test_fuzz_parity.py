@@ -199,6 +199,37 @@ def test_ngram_backend_equivalence():
         assert a == b, f"big trial {trial}: np={a} counter={b}"
 
 
+def test_factorize_public_api_fallback(monkeypatch):
+    """If pandas' internal Int64Factorizer ever moves: (a) _factorize_i64's
+    pd.factorize fallback must produce the identical appearance-order codes,
+    and (b) _ngram_checks_np must degrade to the np.unique branch with
+    unchanged decisions."""
+    import random
+
+    import numpy as np
+
+    from datatrove_spark.config import GopherRepetitionConfig
+    from datatrove_spark.reference_impl import filters as rf
+
+    rng = random.Random(7)
+    arr = np.array([rng.randrange(500) for _ in range(3000)], dtype=np.int64)
+    codes_internal, n_internal = rf._factorize_i64(arr)
+    monkeypatch.setattr(rf, "_Int64Factorizer", None)
+    codes_public, n_public = rf._factorize_i64(arr)
+    assert n_internal == n_public
+    assert np.array_equal(codes_internal, codes_public)
+
+    vocab = ["t%d" % i for i in range(700)]
+    ws = [rng.choice(vocab) for _ in range(rf._FACTORIZE_MIN_WORDS + 200)]
+    ws += ws[:9] * 30  # a repetition-triggering tail
+    text = " ".join(ws)
+    cfg = GopherRepetitionConfig()
+    without_internal = rf._ngram_checks_np(ws, len(text), cfg)  # np.unique branch
+    monkeypatch.undo()
+    assert rf._ngram_checks_np(ws, len(text), cfg) == without_internal
+    assert without_internal == rf._ngram_checks_counter(ws, len(text), cfg)
+
+
 def test_sentences_linear_scan_matches_regex():
     """ref.sentences is a linear scan replacing _SENT_RE.findall (which
     backtracks O(n^2) on terminator-free text); they must agree byte-for-byte
