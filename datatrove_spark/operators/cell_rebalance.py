@@ -19,9 +19,11 @@ Spark shape (same contract as lang_rebalance, plan-pinned in
 tests/test_cell_rebalance.py): centroid assignment is ONE Arrow kernel pass
 per consumer (embarrassingly parallel, broadcast-closure centroids, no
 shuffle); the only aggregation is the O(cells) count, map-side combined and
-collected driver-side; the keep rule is then a pure narrow filter with
-literal per-cell thresholds over the engine's deterministic h60 sampler —
-the corpus never shuffles and the kept set is partition-independent. The
+collected driver-side; the keep rule is then a pure narrow filter over the
+engine's deterministic h60 sampler — the corpus never shuffles and the kept
+set is partition-independent. Thresholds travel as a flat literal map up to
+MAX_LITERAL_CELLS cells and as a broadcast-joined O(cells) table above it
+(k ~ n/1000 reaches millions of cells at web scale; a plan literal cannot). The
 assignment kernel runs twice (once under the count, once in the output
 projection); persisting or joining the slim (id, cell) table back would
 trade a shuffle for that recompute, the wrong trade for a kernel that is
@@ -40,9 +42,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datatrove_spark.functions.hashing import hash60, sql_hash60
-from datatrove_spark.operators.lang_rebalance import SAMPLE_M, rates_from_counts
+from datatrove_spark.operators.lang_rebalance import (
+    SAMPLE_M,
+    rates_from_counts,
+    threshold_map_expr,
+)
 
 NAME = "cell_rebalance"
+
+# Above this many cells the per-cell thresholds travel as a broadcast-joined
+# table instead of a plan literal: a literal map is O(cells) in the PLAN
+# (fine to a few thousand; the old chained-when was worse — O(cells) tree
+# DEPTH, JVM stack overflow at ~400 cells, found by the 200x scale ladder),
+# while at web scale k ~ n/1000 means millions of cells and the only sane
+# carrier is a broadcast table. The corpus side stays shuffle-free either
+# way; the kept set is identical (pinned by test).
+MAX_LITERAL_CELLS = 4096
 
 
 def apply(
@@ -55,6 +70,7 @@ def apply(
     centroids=None,
     centroid_ids=None,
     salt: str = "crb",
+    max_literal_cells: int = MAX_LITERAL_CELLS,
 ) -> DataFrame:
     """Adds cell (centroid id), cell_rebalance_thr, cell_rebalance_keep.
 
@@ -90,14 +106,21 @@ def apply(
     )
     counts = {int(r["cell"]): r["count"] for r in cells.groupBy("cell").count().collect()}
     rates = rates_from_counts(counts, alpha, budget_frac)
-    thr = F.lit(None).cast("long")
-    for c in sorted(rates):
-        thr = F.when(F.col("cell") == c, int(rates[c] * SAMPLE_M)).otherwise(thr)
+    thr_by_cell = {int(c): int(r * SAMPLE_M) for c, r in rates.items()}
+    thr_name = f"{NAME}_thr"
+    if len(thr_by_cell) <= max_literal_cells:
+        labeled = cells.withColumn(
+            thr_name, threshold_map_expr(F.col("cell"), thr_by_cell)
+        )
+    else:
+        rates_df = df.sparkSession.createDataFrame(
+            [(c, thr_by_cell[c]) for c in sorted(thr_by_cell)],
+            schema=f"cell long, {thr_name} long",
+        )
+        labeled = cells.join(F.broadcast(rates_df), "cell", "left")
     h = F.pmod(hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(SAMPLE_M))
-    return (
-        cells.withColumn(f"{NAME}_thr", thr)
-        .withColumn(f"{NAME}_keep", h < F.col(f"{NAME}_thr"))
-        .drop(vec_col)
+    return labeled.withColumn(f"{NAME}_keep", h < F.col(thr_name)).select(
+        id_col, "cell", thr_name, f"{NAME}_keep"
     )
 
 

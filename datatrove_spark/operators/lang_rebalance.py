@@ -41,6 +41,22 @@ NAME = "lang_rebalance"
 SAMPLE_M = 1_000_000
 
 
+def threshold_map_expr(key, thr_by_key: dict) -> "F.Column":
+    """Literal per-key threshold lookup with O(1) expression DEPTH.
+
+    One flat CreateMap node with 2K children instead of a chained
+    when().otherwise() — the chain nests one tree level per key, and
+    Catalyst's recursive tree transforms overflow the JVM stack near ~400
+    keys (measured: cell_rebalance at 400 k-means cells died in
+    withColumn during analysis). Missing keys yield NULL, the same
+    fallthrough the when-chain had."""
+    pairs = []
+    for k in sorted(thr_by_key):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(int(thr_by_key[k])))
+    return F.try_element_at(F.create_map(*pairs), key).cast("long")
+
+
 def rates_from_counts(
     counts: dict[str, int], alpha: float = 0.5, budget_frac: float = 0.5
 ) -> dict[str, float]:
@@ -80,9 +96,9 @@ def apply(
             "filter or impute a language before rebalancing"
         )
     rates = rates_from_counts(counts, alpha, budget_frac)
-    thr = F.lit(None).cast("long")
-    for lg in sorted(rates):
-        thr = F.when(F.col(lang_col) == lg, int(rates[lg] * SAMPLE_M)).otherwise(thr)
+    thr = threshold_map_expr(
+        F.col(lang_col), {lg: int(r * SAMPLE_M) for lg, r in rates.items()}
+    )
     h = F.pmod(hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(SAMPLE_M))
     return df.withColumn(f"{NAME}_thr", thr).withColumn(f"{NAME}_keep", h < F.col(f"{NAME}_thr"))
 

@@ -134,6 +134,16 @@ def _neardup(spark, emb):
     return similarity.neardup_pairs(emb, threshold=0.9, n_blocks=max(8, n // 2500))
 
 
+def _cell_rebalance(spark, emb):
+    from datatrove_spark.operators import cell_rebalance
+
+    # k scales as n/1000 like the other cell ops; expected ladder shape is
+    # near-zero B/doc (the only shuffle is the O(cells) count agg — the
+    # corpus-side keep rule is a narrow literal-threshold filter)
+    n = emb.count()
+    return cell_rebalance.apply(emb, n_centroids=max(16, n // 1000))
+
+
 def _ivf(spark, emb):
     from datatrove_spark.operators import similarity
 
@@ -161,8 +171,9 @@ OPS = {
     "semdedup": _semdedup,
     "embedding_neardup": _neardup,
     "ivf_topk": _ivf,
+    "cell_rebalance": _cell_rebalance,
 }
-EMB_OPS = {"semdedup", "embedding_neardup", "ivf_topk"}
+EMB_OPS = {"semdedup", "embedding_neardup", "ivf_topk", "cell_rebalance"}
 
 
 def _index_full(docs):

@@ -93,6 +93,45 @@ def test_trained_codebook_labels_are_centroid_ids(spark):
     assert labels == {vid: remap[c] for vid, c in default.items()}
 
 
+def test_many_cells_does_not_overflow_analyzer(spark):
+    """Regression for the 200x scale-ladder failure: the per-cell threshold
+    used to be a chained when().otherwise() whose expression depth equals
+    the cell count — Catalyst's recursive tree transforms overflowed the JVM
+    stack at ~400 cells. The flat literal map must handle hundreds of cells
+    (still under MAX_LITERAL_CELLS -> literal path) with every row labeled."""
+    import pandas as pd
+
+    n, k, dim = 1500, 600, 4
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, dim)).astype(float)),
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    out = cell_rebalance.apply(emb, n_centroids=k).collect()
+    assert len(out) == n
+    assert all(r.cell_rebalance_thr is not None for r in out)
+
+
+def test_broadcast_join_path_matches_literal(spark):
+    """Above MAX_LITERAL_CELLS thresholds ride a broadcast-joined table; the
+    kept set, thresholds, and labels must be identical to the literal path,
+    and the corpus side must not shuffle (no hash-partitioning Exchange)."""
+    emb = _emb(spark)
+    lit = cell_rebalance.apply(emb)
+    joined = cell_rebalance.apply(emb, max_literal_cells=0)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(lit.collect()) == key(joined.collect())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("simple")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
 def test_plan_is_narrow_after_tiny_agg(spark):
     """Same contract as lang_rebalance: the output plan is the assignment
     kernel plus literal thresholds — no Join, no Exchange (the O(cells)
