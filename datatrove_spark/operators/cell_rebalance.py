@@ -98,26 +98,49 @@ def apply(
             if centroid_ids is not None
             else list(range(len(cents)))
         )
-    # kernel emits the centroid ROW INDEX; expose the centroid's own id so
-    # the label survives sparse/trained codebooks and matches the SQL oracle
-    idx_to_id = F.array(*[F.lit(c) for c in cell_ids])
-    cells = assign_cells(df, cents, id_col=id_col, vec_col=vec_col).withColumn(
-        "cell", F.element_at(idx_to_id, (F.col("cell") + 1).cast("int")).cast("long")
-    )
-    counts = {int(r["cell"]): r["count"] for r in cells.groupBy("cell").count().collect()}
-    rates = rates_from_counts(counts, alpha, budget_frac)
-    thr_by_cell = {int(c): int(r * SAMPLE_M) for c, r in rates.items()}
+    assigned = assign_cells(df, cents, id_col=id_col, vec_col=vec_col)
     thr_name = f"{NAME}_thr"
-    if len(thr_by_cell) <= max_literal_cells:
+    if len(cell_ids) <= max_literal_cells:
+        # kernel emits the centroid ROW INDEX; expose the centroid's own id
+        # so the label survives sparse/trained codebooks and matches the SQL
+        # oracle
+        idx_to_id = F.array(*[F.lit(c) for c in cell_ids])
+        cells = assigned.withColumn(
+            "cell", F.element_at(idx_to_id, (F.col("cell") + 1).cast("int")).cast("long")
+        )
+        counts = {
+            int(r["cell"]): r["count"] for r in cells.groupBy("cell").count().collect()
+        }
+        rates = rates_from_counts(counts, alpha, budget_frac)
         labeled = cells.withColumn(
-            thr_name, threshold_map_expr(F.col("cell"), thr_by_cell)
+            thr_name,
+            threshold_map_expr(
+                F.col("cell"), {int(c): int(r * SAMPLE_M) for c, r in rates.items()}
+            ),
         )
     else:
+        # past the literal budget NOTHING codebook-sized may ride in the
+        # plan (the idx->id array literal above is O(cells) serialized into
+        # every task): count by the kernel's row index, remap to centroid
+        # ids driver-side (the rates fold stays in cell-ID-sorted order,
+        # the oracle's contract), and broadcast ONE O(cells) table carrying
+        # both the idx->id relabeling and the threshold
+        idx_counts = {
+            int(r["cell"]): r["count"] for r in assigned.groupBy("cell").count().collect()
+        }
+        counts = {cell_ids[i]: n for i, n in idx_counts.items()}
+        rates = rates_from_counts(counts, alpha, budget_frac)
         rates_df = df.sparkSession.createDataFrame(
-            [(c, thr_by_cell[c]) for c in sorted(thr_by_cell)],
-            schema=f"cell long, {thr_name} long",
+            [
+                (i, c, int(rates[c] * SAMPLE_M))
+                for i, c in enumerate(cell_ids)
+                if c in rates
+            ],
+            schema=f"__cidx int, cell long, {thr_name} long",
         )
-        labeled = cells.join(F.broadcast(rates_df), "cell", "left")
+        labeled = assigned.withColumnRenamed("cell", "__cidx").join(
+            F.broadcast(rates_df), "__cidx", "left"
+        )
     h = F.pmod(hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(SAMPLE_M))
     return labeled.withColumn(f"{NAME}_keep", h < F.col(thr_name)).select(
         id_col, "cell", thr_name, f"{NAME}_keep"

@@ -7,10 +7,12 @@ Reference: URLFilter (src/datatrove/pipeline/filters/url_filter.py:33,
   3 any hard banned word among url words
   4 >= soft_word_threshold soft banned words among url words
   5 any banned subword as substring of the normalized url
-     (the reference uses Aho-Corasick; with engine-config-sized lists an
-     OR-chain of contains() compiles to JVM codegen and is cheaper than a
-     Python automaton — swap to a pandas-UDF automaton only for
-     thousands-of-patterns lists)
+     (the reference uses Aho-Corasick; here one literal-alternation regex —
+     flat expression at any list size, JVM-side scan. An OR-chain of
+     contains() nests one tree level per pattern and overflows the Catalyst
+     analyzer stack near ~400 patterns; swap to a pandas-UDF automaton only
+     if a many-thousands list makes the alternation scan itself the
+     bottleneck)
 
 Engine semantics:
 - normalized url = lowercase, scheme + 'www.' stripped, trailing '/' stripped
@@ -31,6 +33,16 @@ from datatrove_spark.config import URLFilterConfig
 from datatrove_spark.operators.url_dedup import SQL_NORM, normalize_url
 
 NAME = "url_filter"
+
+
+_RE_META = set("\\.^$|?*+()[]{}")
+
+
+def _quote_re(s: str) -> str:
+    """Escape a literal for a regex alternation, portable across Java regex
+    and RE2 (both accept backslash-escaped punctuation; \\Q..\\E is Java-only
+    so it is avoided)."""
+    return "".join("\\" + c if c in _RE_META else c for c in s)
 
 
 def _host(norm: Column) -> Column:
@@ -59,10 +71,13 @@ def reason(url_col: Column, cfg: URLFilterConfig) -> Column:
         soft = F.size(F.filter(words, lambda w: w.isin(*cfg.soft_banned_words)))
         checks.append((soft >= cfg.soft_word_threshold, "soft_blacklisted"))
     if cfg.banned_subwords:
-        cond = F.lit(False)
-        for s in cfg.banned_subwords:
-            cond = cond | F.contains(norm, F.lit(s))
-        checks.append((cond, "blacklisted_subword"))
+        # single literal-alternation regex: an OR-fold of contains() nests
+        # one expression level per pattern and overflows the JVM analyzer
+        # stack near ~400 patterns (same class as the cell_rebalance
+        # threshold chain); one regexp node is flat at any list size and
+        # stays JVM-side (an interpreted exists() lambda would not)
+        alt = "|".join(_quote_re(s) for s in cfg.banned_subwords)
+        checks.append((norm.rlike(alt), "blacklisted_subword"))
     r = F.lit(None).cast("string")
     for cond, label in reversed(checks):
         r = F.when(cond, label).otherwise(r)

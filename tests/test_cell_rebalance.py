@@ -86,6 +86,13 @@ def test_trained_codebook_labels_are_centroid_ids(spark):
     )
     labels = {r.vec_id: r.cell for r in out.collect()}
     assert set(labels.values()) <= set(sparse_ids)
+    # the broadcast-join path carries the idx->id relabeling in the rates
+    # table instead of a plan literal — labels must be identical
+    joined = cell_rebalance.apply(
+        emb, n_centroids=8, centroids=cents, centroid_ids=sparse_ids,
+        max_literal_cells=0,
+    )
+    assert labels == {r.vec_id: r.cell for r in joined.collect()}
     default = {
         r.vec_id: r.cell for r in assign_cells(emb, cents).collect()
     }  # row-index labels
