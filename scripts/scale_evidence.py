@@ -144,6 +144,18 @@ def _cell_rebalance(spark, emb):
     return cell_rebalance.apply(emb, n_centroids=max(16, n // 1000))
 
 
+def _kmeans(spark, emb):
+    from datatrove_spark.operators import kmeans
+
+    # k scales as n/1000 like the other cell ops. Expected ladder shape:
+    # B/doc FALLING — the corpus never shuffles (per-partition int64 partial
+    # sums), so the only shuffle is O(partitions x k x dim) slim rows per
+    # iteration, independent of n. Assignment flops are O(n*k*d) per pass
+    # (same honest wall term as semdedup's, the GPU step on a real cluster).
+    n = emb.count()
+    return kmeans.apply(emb, k=max(16, n // 1000), n_iter=2)
+
+
 def _ivf(spark, emb):
     from datatrove_spark.operators import similarity
 
@@ -172,8 +184,9 @@ OPS = {
     "embedding_neardup": _neardup,
     "ivf_topk": _ivf,
     "cell_rebalance": _cell_rebalance,
+    "kmeans_cells": _kmeans,
 }
-EMB_OPS = {"semdedup", "embedding_neardup", "ivf_topk", "cell_rebalance"}
+EMB_OPS = {"semdedup", "embedding_neardup", "ivf_topk", "cell_rebalance", "kmeans_cells"}
 
 
 def _index_full(docs):
